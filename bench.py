@@ -1,0 +1,65 @@
+"""Benchmark harness: 416px COCO inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The metric matches BASELINE.json config #1: end-to-end 416px inference --
+jitted folded-BN forward + 3-scale decode + fixed-shape class-aware NMS, all
+on device; only the NMS survivors are synchronized. Baseline target is 2000
+images/sec/chip on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_for_turbines_tpu.config import ModelConfig
+from yolo_for_turbines_tpu.inference import Predictor
+from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+
+BASELINE_IMG_PER_SEC = 2000.0
+
+
+def main(batch_size: int = 64, iters: int = 20, warmup: int = 3):
+    model = YOLOv3(ModelConfig(num_classes=80))
+    params, stats = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(params, stats)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    predictor = Predictor(model, folded, image_size=416, use_pallas_nms=on_tpu)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (batch_size, 416, 416, 3)),
+        jnp.float32,
+    )
+
+    # compile + warmup
+    for _ in range(warmup):
+        kept, mask = predictor.predict_batch(x)
+    jax.block_until_ready((kept, mask))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        kept, mask = predictor.predict_batch(x)
+    jax.block_until_ready((kept, mask))
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "coco_416px_inference_throughput",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Unit tests for IoU / decode / NMS / mAP.
+
+Oracles are independent numpy re-derivations of the reference semantics
+(reference: code/utils_test.py covers iou==1, perfect mAP==1, decode shapes;
+we add randomized agreement tests against naive greedy implementations).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolo_for_turbines_tpu.ops.iou import calc_iou, iou_aligned
+from yolo_for_turbines_tpu.ops.decode import decode_scale
+from yolo_for_turbines_tpu.ops.nms import batched_nms, nms_single, nms_to_list, non_max_suppression
+from yolo_for_turbines_tpu.ops.map import calc_map
+
+
+# ---------------------------------------------------------------------- IoU
+
+
+def test_iou_identity():
+    box = jnp.array([0.5, 0.5, 0.2, 0.3])
+    assert float(calc_iou(box, box, "center")) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_iou_aligned_basic():
+    assert float(iou_aligned(jnp.array([2.0, 2.0]), jnp.array([1.0, 1.0]))) == (
+        pytest.approx(0.25)
+    )
+    assert float(iou_aligned(jnp.array([3.0, 4.0]), jnp.array([3.0, 4.0]))) == (
+        pytest.approx(1.0)
+    )
+
+
+def _naive_iou_center(a, b):
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    xA, yA = max(ax1, bx1), max(ay1, by1)
+    xB, yB = min(ax1 + a[2], bx1 + b[2]), min(ay1 + a[3], by1 + b[3])
+    inter = max(0, xB - xA) * max(0, yB - yA)
+    return inter / (a[2] * a[3] + b[2] * b[3] - inter + 1e-6)
+
+
+def test_iou_random_agreement(rng):
+    a = rng.uniform(0.1, 0.9, (50, 4))
+    b = rng.uniform(0.1, 0.9, (50, 4))
+    got = np.asarray(calc_iou(a, b, "center"))
+    want = np.array([_naive_iou_center(x, y) for x, y in zip(a, b)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_iou_corner_format_is_tl_xywh(rng):
+    # the reference's "corners" branch treats boxes as top-left xywh
+    a = np.array([0.0, 0.0, 1.0, 1.0])
+    b = np.array([0.5, 0.5, 1.0, 1.0])
+    got = float(calc_iou(a, b, "corner"))
+    assert got == pytest.approx(0.25 / 1.75, rel=1e-4)
+
+
+# -------------------------------------------------------------------- decode
+
+
+def test_decode_shape_and_grid_offsets(rng):
+    b, a, s, c = 2, 3, 4, 6
+    anchors = np.abs(rng.normal(1.0, 0.3, (a, 2))).astype(np.float32)
+    preds = rng.normal(0, 1, (b, a, s, s, 5 + c)).astype(np.float32)
+    out = np.asarray(decode_scale(preds, anchors, s, is_pred=True))
+    assert out.shape == (b, a * s * s, 6)
+
+    # manual check of one cell: anchor k, row i, col j
+    k, i, j = 1, 2, 3
+    flat = k * s * s + i * s + j
+    tx, ty, tw, th = preds[0, k, i, j, :4]
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    np.testing.assert_allclose(out[0, flat, 0], (sig(tx) + j) / s, rtol=1e-5)
+    np.testing.assert_allclose(out[0, flat, 1], (sig(ty) + i) / s, rtol=1e-5)
+    np.testing.assert_allclose(
+        out[0, flat, 2], np.exp(tw) * anchors[k, 0] / s, rtol=1e-5
+    )
+    np.testing.assert_allclose(out[0, flat, 4], sig(preds[0, k, i, j, 4]), rtol=1e-5)
+    assert out[0, flat, 5] == np.argmax(preds[0, k, i, j, 5:])
+
+
+def test_decode_targets_roundtrip(rng):
+    """Encoded target -> decode(is_pred=False) recovers the original box."""
+    from yolo_for_turbines_tpu.data.dataset import assign_targets
+
+    anchors = np.array(
+        [[0.28, 0.22], [0.38, 0.48], [0.9, 0.78],
+         [0.07, 0.15], [0.15, 0.11], [0.14, 0.29],
+         [0.02, 0.03], [0.04, 0.07], [0.08, 0.06]]
+    )
+    grid_sizes = [13, 26, 52]
+    boxes = [[0.5, 0.4, 0.3, 0.2, 1.0], [0.2, 0.7, 0.05, 0.08, 0.0]]
+    targets = assign_targets(boxes, anchors, grid_sizes)
+
+    # decode the finest scale (every box gets one anchor per scale)
+    dec = np.asarray(
+        decode_scale(targets[2][None], anchors[6:] * 52, 52, is_pred=False)
+    )
+    found = dec[0][dec[0][:, 4] == 1]
+    assert len(found) == len(boxes)
+    for box in boxes:
+        dists = np.abs(found[:, :4] - np.asarray(box[:4])).max(axis=1)
+        m = int(np.argmin(dists))
+        np.testing.assert_allclose(found[m, :4], box[:4], atol=1e-5)
+        assert found[m, 5] == box[4]
+
+
+# ----------------------------------------------------------------------- NMS
+
+
+def _naive_greedy_nms(boxes, iou_threshold, obj_threshold):
+    """Reference algorithm (code/utils.py:150-191) re-derived in numpy."""
+    boxes = [list(map(float, b)) for b in boxes if b[4] > obj_threshold]
+    boxes.sort(key=lambda x: x[4], reverse=True)
+    kept = []
+    while boxes:
+        best = boxes.pop(0)
+        kept.append(best)
+        boxes = [
+            b
+            for b in boxes
+            if b[5] != best[5] or _naive_iou_center(best[:4], b[:4]) < iou_threshold
+        ]
+    return kept
+
+
+def test_nms_matches_reference_greedy(rng):
+    for trial in range(5):
+        n = 60
+        boxes = np.zeros((n, 6), np.float32)
+        boxes[:, 0:2] = rng.uniform(0.2, 0.8, (n, 2))
+        boxes[:, 2:4] = rng.uniform(0.05, 0.4, (n, 2))
+        boxes[:, 4] = rng.uniform(0, 1, n)
+        boxes[:, 5] = rng.integers(0, 3, n)
+        got = non_max_suppression(boxes.tolist(), 0.45, 0.3, box_format="center")
+        want = _naive_greedy_nms(boxes.tolist(), 0.45, 0.3)
+        assert len(got) == len(want)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+
+def test_nms_fixed_capacity_and_batch(rng):
+    boxes = rng.uniform(0.1, 0.9, (4, 500, 6)).astype(np.float32)
+    boxes[..., 5] = 0
+    kept, mask = batched_nms(boxes, 0.5, 0.5, max_boxes=64)
+    assert kept.shape == (4, 64, 6)
+    assert mask.shape == (4, 64)
+    # survivors sorted descending by score
+    for i in range(4):
+        scores = np.asarray(kept[i][np.asarray(mask[i])][:, 4])
+        assert np.all(np.diff(scores) <= 1e-6)
+
+
+def test_nms_empty():
+    boxes = np.zeros((10, 6), np.float32)  # all scores 0 < threshold
+    assert non_max_suppression(boxes.tolist(), 0.5, 0.5) == []
+
+
+# ----------------------------------------------------------------------- mAP
+
+
+def test_map_perfect_match():
+    preds = [[0, 0.5, 0.5, 0.2, 0.2, 0.9, 0], [1, 0.3, 0.3, 0.1, 0.1, 0.8, 1]]
+    truths = [[0, 0.5, 0.5, 0.2, 0.2, 1.0, 0], [1, 0.3, 0.3, 0.1, 0.1, 1.0, 1]]
+    assert calc_map(preds, truths, 0.5, "center", num_classes=2) == pytest.approx(1.0)
+
+
+def test_map_all_wrong():
+    preds = [[0, 0.9, 0.9, 0.05, 0.05, 0.9, 0]]
+    truths = [[0, 0.1, 0.1, 0.05, 0.05, 1.0, 0]]
+    assert calc_map(preds, truths, 0.5, "center", num_classes=1) == pytest.approx(0.0)
+
+
+def test_map_duplicate_detections_penalized():
+    # second detection of the same GT is a FP (greedy matching)
+    preds = [
+        [0, 0.5, 0.5, 0.2, 0.2, 0.9, 0],
+        [0, 0.5, 0.5, 0.2, 0.2, 0.8, 0],
+    ]
+    truths = [[0, 0.5, 0.5, 0.2, 0.2, 1.0, 0]]
+    got = calc_map(preds, truths, 0.5, "center", num_classes=1)
+    assert got == pytest.approx(1.0)  # AP: recall reaches 1 at precision 1 first
+
+
+def test_map_classes_without_gt_are_skipped():
+    preds = [[0, 0.5, 0.5, 0.2, 0.2, 0.9, 0]]
+    truths = [[0, 0.5, 0.5, 0.2, 0.2, 1.0, 0]]
+    # num_classes=5 but only class 0 has GT
+    assert calc_map(preds, truths, 0.5, "center", num_classes=5) == pytest.approx(1.0)

@@ -1,0 +1,197 @@
+"""Batched, prefetching data loader feeding the TPU.
+
+Replaces torch DataLoader worker processes (reference: code/utils.py:704-784)
+with a thread-pool producer + a bounded prefetch queue. PIL decode and numpy
+augmentation release the GIL for their hot parts, so threads overlap host
+work with device steps without fork overhead; `prefetch_to_device` moves
+batches to the TPU asynchronously so step N+1's transfer overlaps step N's
+compute.
+
+Mixed-size safety: the reference defines a padding `collate_fn` but never
+wires it in (SURVEY.md section 2 quirk 3); here every batch is materialized
+at the dataset's size *at batch-assembly time*, so a mid-epoch
+`change_scale()` always produces whole batches of one bucketed size by
+construction.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .. import config as cfg
+from .augment import set_train_transforms, test_transforms
+from .dataset import YOLODataset
+
+
+def collate(samples):
+    """Stack (img, (t0, t1, t2)) samples; pads images to the batch max size
+    (constant 255) if sizes are mixed (parity with the reference's unused
+    collate_fn, code/utils.py:664-702)."""
+    images, targets = zip(*samples)
+    max_h = max(im.shape[0] for im in images)
+    max_w = max(im.shape[1] for im in images)
+    padded = []
+    for im in images:
+        if im.shape[0] != max_h or im.shape[1] != max_w:
+            out = np.full((max_h, max_w, im.shape[2]), 255 / 255.0, np.float32)
+            out[: im.shape[0], : im.shape[1]] = im
+            padded.append(out)
+        else:
+            padded.append(im)
+    batch_imgs = np.stack(padded)
+    batch_targets = tuple(
+        np.stack([t[i] for t in targets]) for i in range(len(targets[0]))
+    )
+    return batch_imgs, batch_targets
+
+
+class DataLoader:
+    """Iterates batches; worker threads run __getitem__ concurrently."""
+
+    def __init__(
+        self,
+        dataset: YOLODataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = []
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i : i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+        return batches
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, tuple]]:
+        batches = self._batch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, batch))
+                    q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Move batches to device ahead of consumption (double-buffering).
+
+    With a NamedSharding, batches are placed sharded across the mesh's data
+    axis (host->HBM transfer overlaps the previous step's compute).
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
+def get_loaders(
+    csv_folder_path,
+    batch_size: int,
+    anchors=cfg.ANCHORS,
+    train: bool = True,
+    image_folder=None,
+    annotation_folder=None,
+    num_classes: int = cfg.NUM_TURBINE_CLASSES,
+    num_workers: int = 8,
+    mosaic: bool = False,
+    image_size: int = cfg.DEF_IMAGE_SIZE,
+):
+    """Build train/val/test loaders from split CSVs
+    (parity with reference code/utils.py:704-784)."""
+    csv_folder = Path(csv_folder_path)
+    image_folder = image_folder or csv_folder / "images"
+    annotation_folder = annotation_folder or csv_folder / "labels"
+    grid_sizes = cfg.grid_sizes_for(image_size)
+
+    def make(split, transform, is_train):
+        return YOLODataset(
+            csv_split_file=csv_folder / f"{split}.csv",
+            img_folder=image_folder,
+            annotation_folder=annotation_folder,
+            anchors=anchors,
+            batch_size=batch_size,
+            image_size=image_size,
+            grid_sizes=grid_sizes,
+            num_classes=num_classes,
+            transform=transform,
+            mosaic=mosaic if is_train else False,
+            multi_scale=is_train,
+        )
+
+    if train:
+        train_ds = make("train", set_train_transforms(image_size), True)
+        val_ds = make("val", test_transforms(image_size), False)
+        train_loader = DataLoader(
+            train_ds, batch_size, shuffle=True, num_workers=num_workers
+        )
+        val_loader = DataLoader(
+            val_ds, batch_size, shuffle=False, num_workers=num_workers
+        )
+        return train_loader, val_loader, train_ds
+    test_ds = make("test", test_transforms(image_size), False)
+    return DataLoader(test_ds, batch_size, shuffle=False, num_workers=num_workers)

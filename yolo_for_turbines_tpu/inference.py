@@ -1,0 +1,117 @@
+"""End-to-end inference pipeline: letterbox -> jit forward -> decode -> NMS.
+
+Reproduces the reference's demo path (reference: code/demo.py:30-66) as one
+compiled device program per image size: the folded-BN forward (conv + bias +
+activation only), the three-scale decode, and fixed-shape class-aware NMS all
+run in a single jit call; only the K NMS survivors per image come back to the
+host. Boxes are finally mapped back to the original image frame
+(un-letterbox, reference: code/utils.py:475-501).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as cfg
+from .data.augment import letterbox, unletterbox_boxes
+from .models.yolov3 import YOLOv3
+from .ops.decode import decode_all_scales
+from .ops.nms import batched_nms, nms_to_list
+
+
+class Predictor:
+    """Bundles a model plan + folded params with a jitted predict function.
+
+    One compiled executable per (batch_size, image_size) bucket; compile
+    cache is keyed by input shape via jit.
+    """
+
+    def __init__(
+        self,
+        model: YOLOv3,
+        folded_params,
+        anchors=cfg.ANCHORS,
+        image_size: int = cfg.DEF_IMAGE_SIZE,
+        conf_threshold: float = cfg.CONF_THRESHOLD,
+        nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
+        max_boxes: int = 256,
+        compute_dtype=jnp.bfloat16,
+        use_pallas_nms: bool = False,
+    ):
+        self.model = model
+        self.folded_params = folded_params
+        self.anchors = np.asarray(anchors, np.float32)
+        self.image_size = image_size
+        self.conf_threshold = conf_threshold
+        self.nms_iou_threshold = nms_iou_threshold
+        self.max_boxes = max_boxes
+        self.compute_dtype = compute_dtype
+        self.use_pallas_nms = use_pallas_nms
+        self._jitted = jax.jit(
+            functools.partial(self._pipeline), static_argnames=("image_size",)
+        )
+
+    def _pipeline(self, params, x, *, image_size: int):
+        grid_sizes = cfg.grid_sizes_for(image_size)
+        scaled_anchors = jnp.asarray(self.anchors) * jnp.asarray(
+            grid_sizes, jnp.float32
+        ).reshape(3, 1, 1)
+        preds = self.model.apply_folded(params, x, compute_dtype=self.compute_dtype)
+        boxes = decode_all_scales(preds, scaled_anchors, grid_sizes)
+        kept, mask = batched_nms(
+            boxes,
+            iou_threshold=self.nms_iou_threshold,
+            obj_threshold=self.conf_threshold,
+            max_boxes=self.max_boxes,
+            use_pallas=self.use_pallas_nms,
+        )
+        return kept, mask
+
+    def predict_batch(self, x) -> Tuple[np.ndarray, np.ndarray]:
+        """x: (B, S, S, 3) float in [0, 1]. Returns ((B, K, 6), (B, K))."""
+        kept, mask = self._jitted(self.folded_params, x, image_size=x.shape[1])
+        return kept, mask
+
+    def predict_image(self, np_image: np.ndarray) -> List[List[float]]:
+        """Full demo path for one HWC uint8 image: returns NMS boxes in the
+        *original* image's normalized frame [cx, cy, w, h, score, class]."""
+        h0, w0 = np_image.shape[:2]
+        img, _ = letterbox(np_image, None, self.image_size)
+        x = (img.astype(np.float32) / 255.0)[None]
+        kept, mask = self.predict_batch(x)
+        boxes = nms_to_list(kept[0], mask[0])
+        return unletterbox_boxes(
+            boxes, (h0, w0), (self.image_size, self.image_size)
+        )
+
+
+def load_predictor(
+    weights_path: str,
+    num_classes: int = cfg.NUM_COCO_CLASSES,
+    activation: str = "leaky_relu",
+    anchors=cfg.ANCHORS,
+    image_size: int = cfg.DEF_IMAGE_SIZE,
+    conf_threshold: float = cfg.CONF_THRESHOLD,
+    nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
+    seed: int = 0,
+) -> Predictor:
+    """Build a Predictor from an official darknet weight file."""
+    from .models.darknet_weights import load_darknet_weights
+
+    model = YOLOv3(cfg.ModelConfig(num_classes=num_classes, activation=activation))
+    params, stats = model.init(jax.random.PRNGKey(seed))
+    params, stats, _, _ = load_darknet_weights(weights_path, model.plan, params, stats)
+    folded = model.fold(params, stats)
+    return Predictor(
+        model,
+        folded,
+        anchors=anchors,
+        image_size=image_size,
+        conf_threshold=conf_threshold,
+        nms_iou_threshold=nms_iou_threshold,
+    )

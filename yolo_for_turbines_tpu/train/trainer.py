@@ -1,0 +1,240 @@
+"""Training orchestration: epoch loops, multi-scale buckets, early stop,
+checkpoints, metrics (reference: code/train.py:34-239).
+
+Control-flow parity with the reference's `train()`:
+- model = YOLOv3(turbine classes, configured activation), darknet53.conv.74
+  backbone import with optional freeze (reference: code/train.py:166-169),
+- SGD(lr, momentum, weight_decay) + linear warmup from 1e-6*lr
+  (reference: code/train.py:171-189),
+- dataset scale change every `num_batch_to_resize` batches
+  (reference: code/train.py:45-46) -- each of the 7 bucket sizes gets its own
+  cached jit executable,
+- val every epoch; accuracy + mAP every 10th epoch; best-mAP tracking with
+  early-stop countdown (reference: code/train.py:199-227),
+- checkpoints at every 25% of epochs and at the end
+  (reference: code/train.py:229-237).
+
+Documented divergence: the reference computes `scaled_anchors` once from the
+416 grid sizes and uses them for every multi-scale batch
+(code/train.py:195-197), so losses at 608px use 416-scaled anchors while the
+targets were encoded at 608 grids. We scale anchors by the actual batch's
+grid size (consistent with the target encoding); quirk noted per SURVEY.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..config import ModelConfig, TrainConfig
+from ..data.loader import DataLoader, get_loaders
+from ..models.darknet_weights import load_darknet_weights
+from ..models.yolov3 import YOLOv3
+from ..parallel.mesh import create_mesh, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .evaluate import check_model_accuracy, evaluate_map
+from .metrics import MetricsLogger
+from .steps import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+def scaled_anchors_for(anchors, image_size: int) -> np.ndarray:
+    gs = np.asarray(cfg.grid_sizes_for(image_size), np.float32)
+    return np.asarray(anchors, np.float32) * gs[:, None, None]
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_cfg: TrainConfig,
+        model_cfg: Optional[ModelConfig] = None,
+        anchors=cfg.TURBINE_ANCHORS,
+        weights_path=None,
+        mesh=None,
+        report_callback=None,
+    ):
+        self.cfg = train_cfg
+        self.model_cfg = model_cfg or ModelConfig(
+            num_classes=cfg.NUM_TURBINE_CLASSES, activation=train_cfg.activation
+        )
+        self.anchors = np.asarray(anchors, np.float32)
+        self.model = YOLOv3(self.model_cfg)
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.report_callback = report_callback
+
+        rng = jax.random.PRNGKey(train_cfg.seed)
+        params, stats = self.model.init(rng)
+        frozen = None
+        if weights_path is not None and train_cfg.load_weights:
+            params, stats, frozen, _ = load_darknet_weights(
+                str(weights_path),
+                self.model.plan,
+                params,
+                stats,
+                freeze=train_cfg.freeze_backbone,
+            )
+        self.state, self.tx, self.schedule = create_train_state(
+            self.model, train_cfg, params=params, batch_stats=stats,
+            frozen_mask=frozen,
+        )
+        n_dev = self.mesh.devices.size
+        mesh = self.mesh if n_dev > 1 else None
+        self.train_step = make_train_step(self.model, self.tx, train_cfg, mesh)
+        self.eval_step = make_eval_step(self.model, train_cfg, mesh)
+
+    # ------------------------------------------------------------------
+
+    def _put(self, images, targets):
+        batch = (np.asarray(images), tuple(np.asarray(t) for t in targets))
+        if self.mesh.devices.size > 1:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_one_epoch(self, train_ds, train_loader, logger):
+        tots = {}
+        n = 0
+        for batch_idx, (x, y) in enumerate(train_loader):
+            if (
+                self.cfg.multi_scale
+                and (batch_idx + 1) % self.cfg.num_batch_to_resize == 0
+            ):
+                train_ds.change_scale()  # next batches re-bucket
+            anchors = scaled_anchors_for(self.anchors, x.shape[1])
+            x, y = self._put(x, y)
+            self.state, metrics = self.train_step(self.state, x, y, anchors)
+            logger.log({"lr": self.schedule(int(self.state.step) - 1)})
+            for k, v in metrics.items():
+                tots[k] = tots.get(k, 0.0) + float(v)
+            n += 1
+            if int(self.state.step) >= self.cfg.max_num_steps:
+                break
+        if not np.isfinite(tots.get("loss", 0.0)):
+            raise ValueError("Nan loss")
+        avg = {f"train_{k}": v / max(n, 1) for k, v in tots.items()}
+        logger.log(avg)
+        return avg.get("train_loss", 0.0)
+
+    def val_one_epoch(self, val_loader, epoch, logger):
+        tots = {}
+        n = 0
+        for x, y in val_loader:
+            anchors = scaled_anchors_for(self.anchors, x.shape[1])
+            x, y = self._put(x, y)
+            metrics = self.eval_step(self.state, x, y, anchors)
+            for k, v in metrics.items():
+                tots[k] = tots.get(k, 0.0) + float(v)
+            n += 1
+        avg = {f"val_{k}": v / max(n, 1) for k, v in tots.items()}
+        logger.log(avg)
+
+        mAP = None
+        if (epoch + 1) % 10 == 0:
+            class_acc, noobj_acc, obj_acc = check_model_accuracy(
+                val_loader, self.model, self.state, cfg.CONF_THRESHOLD
+            )
+            mAP = evaluate_map(
+                val_loader,
+                self.model,
+                self.state,
+                self.anchors,
+                num_classes=self.model_cfg.num_classes,
+            )
+            logger.log(
+                {
+                    "class_accuracy": class_acc,
+                    "noobj_accuracy": noobj_acc,
+                    "obj_accuracy": obj_acc,
+                    "mAP": mAP,
+                }
+            )
+            if self.report_callback is not None:
+                self.report_callback({"mAP": mAP})
+        return avg.get("val_loss", 0.0), mAP
+
+
+def train(
+    hyperparam_config,
+    csv_folder_path,
+    model_folder_path,
+    identifier: str,
+    early_stop: int,
+    checkpoint_name: Optional[str] = None,
+    image_folder=None,
+    annotation_folder=None,
+    anchors=cfg.TURBINE_ANCHORS,
+    weights_path=None,
+    report_callback=None,
+    num_workers: int = 8,
+) -> float:
+    """Reference-parity train() entry (code/train.py:158-239). Returns best mAP."""
+    if isinstance(hyperparam_config, TrainConfig):
+        tc = hyperparam_config
+    else:
+        tc = TrainConfig(
+            **{
+                k: v
+                for k, v in hyperparam_config.items()
+                if k in TrainConfig.__dataclass_fields__
+            }
+        )
+    logger = MetricsLogger(
+        f"YOLOv3_Turbine_Detection_{identifier}",
+        config=json.loads(tc.to_json()),
+        out_dir=model_folder_path,
+    )
+    trainer = Trainer(
+        tc, anchors=anchors, weights_path=weights_path,
+        report_callback=report_callback,
+    )
+    if tc.load_checkpoint and checkpoint_name:
+        trainer.state = load_checkpoint(
+            trainer.state, Path(model_folder_path) / checkpoint_name, tc.lr
+        )
+
+    train_loader, val_loader, train_ds = get_loaders(
+        csv_folder_path,
+        batch_size=tc.batch_size,
+        anchors=anchors,
+        train=True,
+        image_folder=image_folder,
+        annotation_folder=annotation_folder,
+        num_workers=num_workers,
+        mosaic=tc.mosaic,
+        image_size=tc.image_size,
+    )
+
+    best_map = 0.0
+    best_state = trainer.state
+    epoch = 0
+    num_epochs = max(1, tc.max_num_steps // max(len(train_loader), 1))
+    early_stop_limit = early_stop
+    start = time.time()
+    ckpt_path = Path(model_folder_path) / f"best_model_{identifier}.ckpt"
+
+    while epoch < num_epochs and early_stop > 0:
+        train_loss = trainer.train_one_epoch(train_ds, train_loader, logger)
+        logger.log({"train_loss": train_loss})
+        val_loss, mAP = trainer.val_one_epoch(val_loader, epoch, logger)
+        logger.log({"val_loss": val_loss})
+        if mAP is not None:
+            if mAP > best_map:
+                best_map, best_state = mAP, trainer.state
+                early_stop = early_stop_limit
+            elif mAP < best_map:
+                early_stop -= 1
+        epoch += 1
+        if num_epochs >= 4 and (epoch + 1) % max(1, int(0.25 * num_epochs)) == 0:
+            save_checkpoint(best_state, ckpt_path)
+            logger.log_model(ckpt_path, f"best_model_{identifier}")
+        logger.log({"time_elapsed_in_hours": (time.time() - start) / 3600})
+
+    save_checkpoint(best_state, ckpt_path)
+    logger.log_model(ckpt_path, f"best_model_{identifier}")
+    logger.finish()
+    return best_map
