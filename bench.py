@@ -25,7 +25,7 @@ from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
 BASELINE_IMG_PER_SEC = 2000.0
 
 
-def main(batch_size: int = 64, iters: int = 20, warmup: int = 3):
+def main(batch_size: int = 128, iters: int = 20, warmup: int = 3):
     model = YOLOv3(ModelConfig(num_classes=80))
     params, stats = model.init(jax.random.PRNGKey(0))
     folded = model.fold(params, stats)
@@ -34,7 +34,7 @@ def main(batch_size: int = 64, iters: int = 20, warmup: int = 3):
 
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (batch_size, 416, 416, 3)),
-        jnp.float32,
+        jnp.bfloat16,
     )
 
     # compile + warmup

@@ -1,18 +1,19 @@
 """Test harness config: run JAX on a virtual 8-device CPU mesh.
 
-Must set env before jax is imported anywhere in the process — this is the
-TPU-equivalent of a fake backend for multi-device sharding tests
+The session environment pre-initializes JAX on the TPU backend via a
+sitecustomize hook *before* any conftest code runs, so setting env vars here
+is too late. Instead: clear the already-initialized backends, then flip the
+platform/device-count configs so the next resolution lands on an 8-device
+CPU — the TPU-equivalent of a fake backend for multi-device sharding tests
 (SURVEY.md section 4 implication).
 """
 
-import os
+import jax
+from jax.extend import backend as _jexb
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_jexb.clear_backends()
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

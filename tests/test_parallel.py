@@ -1,0 +1,74 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_for_turbines_tpu.config import ModelConfig, TrainConfig
+from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+from helpers import mini_model
+from yolo_for_turbines_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_multiple,
+    shard_batch,
+)
+from yolo_for_turbines_tpu.train.steps import create_train_state, make_train_step
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = create_mesh()
+    x = np.zeros((16, 4), np.float32)
+    (sx,) = jax.tree_util.tree_leaves(shard_batch((x,), mesh))
+    assert sx.sharding.is_equivalent_to(batch_sharding(mesh), ndim=2)
+
+
+def test_pad_batch_to_multiple():
+    x = np.ones((5, 3), np.float32)
+    (padded,), n = pad_batch_to_multiple((x,), 8)
+    assert padded.shape == (8, 3) and n == 5
+    (same,), n2 = pad_batch_to_multiple((np.ones((8, 3), np.float32),), 8)
+    assert same.shape == (8, 3) and n2 == 8
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """DP over 8 devices must produce the same update as 1 device (global
+    batch stats + summed grads are mathematically identical)."""
+    model = mini_model()
+    cfg = TrainConfig(lr=1e-3, max_num_steps=10, compute_dtype="float32")
+
+    b, size = 8, 64
+    images = rng.uniform(0, 1, (b, size, size, 3)).astype(np.float32)
+    targets = tuple(
+        np.zeros((b, 3, size // s, size // s, 6), np.float32) for s in (32, 16, 8)
+    )
+    targets[0][:, 0, 1, 1] = [0.5, 0.5, 1.0, 1.0, 1.0, 1.0]
+    anchors = np.abs(rng.normal(1.0, 0.3, (3, 3, 2))).astype(np.float32)
+
+    # single device
+    state1, tx1, _ = create_train_state(model, cfg, rng=jax.random.PRNGKey(0))
+    step1 = make_train_step(model, tx1, cfg)
+    new1, m1 = step1(state1, jnp.asarray(images), tuple(map(jnp.asarray, targets)),
+                     jnp.asarray(anchors))
+
+    # 8-device mesh
+    mesh = create_mesh()
+    state8, tx8, _ = create_train_state(model, cfg, rng=jax.random.PRNGKey(0))
+    step8 = make_train_step(model, tx8, cfg, mesh=mesh)
+    sx, sy = shard_batch((images, targets), mesh)
+    new8, m8 = step8(state8, sx, sy, jnp.asarray(anchors))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
+    a = jax.tree_util.tree_leaves(new1.params)
+    b_ = jax.tree_util.tree_leaves(new8.params)
+    for x1, x2 in zip(a, b_):
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x2), rtol=2e-4, atol=2e-5
+        )

@@ -1,0 +1,119 @@
+"""End-to-end trainer test: synthetic dataset -> train() -> eval -> checkpoint."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolo_for_turbines_tpu import config as cfg
+from yolo_for_turbines_tpu.config import ModelConfig, TrainConfig
+from yolo_for_turbines_tpu.data.splits import create_csv_files
+
+from helpers import MINI_LAYERS
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    """12 images with one box each (class alternating), 64px."""
+    root = tmp_path_factory.mktemp("synth")
+    img_dir, lbl_dir = root / "images", root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+        # draw a bright square as the "object"
+        img[20:44, 20:44] = [255, 0, 0] if i % 2 == 0 else [0, 255, 0]
+        Image.fromarray(img).save(img_dir / f"im{i}.png")
+        np.savetxt(
+            lbl_dir / f"im{i}.txt",
+            np.array([[i % 2, 0.5, 0.5, 0.375, 0.375]]),
+            fmt="%.6f",
+        )
+    create_csv_files(img_dir, lbl_dir, root, {"train": 0.5, "val": 0.25, "test": 0.25})
+    return root
+
+
+def test_train_end_to_end(synth_data, tmp_path):
+    from yolo_for_turbines_tpu.train.trainer import train
+
+    tc = TrainConfig(
+        lr=1e-3,
+        batch_size=4,
+        max_num_steps=4,
+        warmup_enabled=False,
+        multi_scale=False,
+        image_size=64,
+        compute_dtype="float32",
+    )
+    # patch the model to the mini architecture through the Trainer path
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+
+    orig_init = trainer_mod.Trainer.__init__
+
+    def patched(self, train_cfg, model_cfg=None, **kw):
+        model_cfg = ModelConfig(
+            num_classes=cfg.NUM_TURBINE_CLASSES,
+            activation=train_cfg.activation,
+            layer_config=MINI_LAYERS,
+        )
+        orig_init(self, train_cfg, model_cfg=model_cfg, **kw)
+
+    trainer_mod.Trainer.__init__ = patched
+    try:
+        best = train(
+            tc,
+            synth_data,
+            tmp_path,
+            identifier="e2etest",
+            early_stop=5,
+            image_folder=synth_data / "images",
+            annotation_folder=synth_data / "labels",
+            num_workers=2,
+        )
+    finally:
+        trainer_mod.Trainer.__init__ = orig_init
+
+    # checkpoint written and loadable; metrics logged
+    assert (tmp_path / "best_model_e2etest.ckpt").exists()
+    metrics_file = tmp_path / "YOLOv3_Turbine_Detection_e2etest_metrics.jsonl"
+    assert metrics_file.exists()
+    lines = [json.loads(l) for l in open(metrics_file)]
+    keys = set().union(*[set(l) for l in lines])
+    assert "train_loss" in keys and "val_loss" in keys and "lr" in keys
+
+
+def test_get_eval_boxes_with_loader(synth_data):
+    """Eval loop over a real DataLoader produces reference-format rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from helpers import mini_model
+    from yolo_for_turbines_tpu.data.loader import get_loaders
+    from yolo_for_turbines_tpu.train.evaluate import evaluate_map, get_eval_boxes
+    from yolo_for_turbines_tpu.train.steps import create_train_state
+
+    model = mini_model()
+    tc = TrainConfig(compute_dtype="float32", image_size=64)
+    state, _, _ = create_train_state(model, tc, rng=jax.random.PRNGKey(0))
+    loader = get_loaders(
+        synth_data,
+        batch_size=4,
+        anchors=cfg.TURBINE_ANCHORS,
+        train=False,
+        image_folder=synth_data / "images",
+        annotation_folder=synth_data / "labels",
+        num_workers=2,
+        image_size=64,
+    )
+    preds, trues = get_eval_boxes(
+        loader, model, state, cfg.TURBINE_ANCHORS, compute_dtype=jnp.float32
+    )
+    assert len(trues) >= 1
+    for row in trues:
+        assert len(row) == 7
+        assert row[5] > 0.5  # GT objectness
+    mAP = evaluate_map(loader, model, state, cfg.TURBINE_ANCHORS, num_classes=2)
+    assert 0.0 <= mAP <= 1.0

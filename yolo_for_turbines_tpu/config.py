@@ -152,6 +152,10 @@ class ModelConfig:
     activation: str = "leaky_relu"  # or "mish"
     backbone: str = "darknet53"  # or "cspdarknet53"
     anchors_per_scale: int = 3
+    # Optional custom architecture through the same declarative layer DSL
+    # (tuple of entries; overrides the backbone choice when set). Hashable so
+    # the config stays jit-cache-safe.
+    layer_config: Optional[tuple] = None
 
     @property
     def channels_per_anchor(self) -> int:

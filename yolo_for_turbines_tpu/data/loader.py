@@ -186,8 +186,12 @@ def get_loaders(
     if train:
         train_ds = make("train", set_train_transforms(image_size), True)
         val_ds = make("val", test_transforms(image_size), False)
+        # drop_last keeps every training batch full -- required for the
+        # data-parallel sharding (batch % mesh size == 0) and avoids
+        # recompiles for ragged final batches
         train_loader = DataLoader(
-            train_ds, batch_size, shuffle=True, num_workers=num_workers
+            train_ds, batch_size, shuffle=True, num_workers=num_workers,
+            drop_last=True,
         )
         val_loader = DataLoader(
             val_ds, batch_size, shuffle=False, num_workers=num_workers

@@ -57,12 +57,20 @@ class Predictor:
         )
 
     def _pipeline(self, params, x, *, image_size: int):
+        from .ops.decode import decode_raw_all
+
         grid_sizes = cfg.grid_sizes_for(image_size)
         scaled_anchors = jnp.asarray(self.anchors) * jnp.asarray(
             grid_sizes, jnp.float32
         ).reshape(3, 1, 1)
-        preds = self.model.apply_folded(params, x, compute_dtype=self.compute_dtype)
-        boxes = decode_all_scales(preds, scaled_anchors, grid_sizes)
+        # raw-head fast path: decode consumes the NHWC conv output directly,
+        # skipping the (B, A, S, S, 5+C) transpose + f32 materialization
+        raw = self.model.apply_folded(
+            params, x, compute_dtype=self.compute_dtype, raw_heads=True
+        )
+        boxes = decode_raw_all(
+            raw, scaled_anchors, grid_sizes, self.model.cfg.num_classes
+        )
         kept, mask = batched_nms(
             boxes,
             iou_threshold=self.nms_iou_threshold,

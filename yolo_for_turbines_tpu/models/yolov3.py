@@ -340,8 +340,18 @@ def apply_inference(
     *,
     activation: str = "leaky_relu",
     compute_dtype=jnp.bfloat16,
+    raw_heads: bool = False,
 ):
-    """Inference forward over folded params: conv + bias + activation only."""
+    """Inference forward over folded params: conv + bias + activation only.
+
+    raw_heads=True returns each head's raw NHWC conv output
+    (B, S, S, A*(5+C)) in compute dtype, skipping the (B, A, S, S, 5+C)
+    transpose + f32 cast. The transpose materializes ~350MB per large scale
+    at batch 128 and is pure layout shuffling the decode does not need --
+    `ops.decode.decode_raw` consumes this layout directly (the reshape to
+    (B, S, S, A, 5+C) is free). Use for the throughput pipeline; the default
+    path keeps the reference's public layout (code/model.py:146-148).
+    """
     from .blocks import conv2d
     from .cspdarknet import PlanCSP, apply_csp_inference
 
@@ -373,11 +383,16 @@ def apply_inference(
         elif isinstance(entry, PlanHead):
             y = conv(p["conv1"], x, 3, 1)
             y = conv(p["conv2"], y, 1, 1, with_act=False)
-            preds.append(
-                _head_reshape(
-                    y.astype(jnp.float32), entry.num_classes, entry.anchors_per_scale
+            if raw_heads:
+                preds.append(y)
+            else:
+                preds.append(
+                    _head_reshape(
+                        y.astype(jnp.float32),
+                        entry.num_classes,
+                        entry.anchors_per_scale,
+                    )
                 )
-            )
         elif isinstance(entry, PlanUpsample):
             x = upsample2x(x)
             x = jnp.concatenate([x, routes.pop().astype(x.dtype)], axis=-1)
@@ -396,21 +411,21 @@ class YOLOv3:
     cfg: ModelConfig
 
     @property
-    def plan(self) -> Plan:
+    def layer_config(self):
         from .cspdarknet import CSP_LAYER_CONFIG
 
-        layer_config = (
+        if self.cfg.layer_config is not None:
+            return self.cfg.layer_config
+        return (
             CSP_LAYER_CONFIG if self.cfg.backbone == "cspdarknet53" else LAYER_CONFIG
         )
-        return build_plan(self.cfg, layer_config)
+
+    @property
+    def plan(self) -> Plan:
+        return build_plan(self.cfg, self.layer_config)
 
     def init(self, rng):
-        from .cspdarknet import CSP_LAYER_CONFIG
-
-        layer_config = (
-            CSP_LAYER_CONFIG if self.cfg.backbone == "cspdarknet53" else LAYER_CONFIG
-        )
-        return init(rng, self.cfg, layer_config)
+        return init(rng, self.cfg, self.layer_config)
 
     def apply(self, params, batch_stats, x, *, train=False, compute_dtype=jnp.bfloat16):
         return apply(
@@ -426,11 +441,12 @@ class YOLOv3:
     def fold(self, params, batch_stats):
         return fold_params(self.plan, params, batch_stats)
 
-    def apply_folded(self, folded, x, *, compute_dtype=jnp.bfloat16):
+    def apply_folded(self, folded, x, *, compute_dtype=jnp.bfloat16, raw_heads=False):
         return apply_inference(
             self.plan,
             folded,
             x,
             activation=self.cfg.activation,
             compute_dtype=compute_dtype,
+            raw_heads=raw_heads,
         )

@@ -70,6 +70,43 @@ def cells_to_boxes(predictions, anchors, grid_size: int, is_pred: bool = True):
     return decode_scale(predictions, anchors, grid_size, is_pred).tolist()
 
 
+def decode_raw_scale(raw, anchors, grid_size: int, num_classes: int):
+    """Decode one scale's *raw NHWC head output* (B, S, S, A*(5+C)).
+
+    Throughput path: consumes `apply_inference(..., raw_heads=True)` output
+    with a free reshape instead of the (B, A, S, S, 5+C) transpose; compute
+    stays in the input dtype (bf16 on TPU) with an f32 result. Box ordering
+    within the scale differs from `decode_scale` (cells-major instead of
+    anchor-major) -- irrelevant downstream, NMS re-sorts by score.
+    """
+    raw = jnp.asarray(raw)
+    anchors = jnp.asarray(anchors, raw.dtype)
+    b, s = raw.shape[0], grid_size
+    a = anchors.shape[0]
+    y = raw.reshape(b, s, s, a, 5 + num_classes)
+
+    ar = jnp.arange(s, dtype=jnp.float32)
+    # Box math in f32 (only 6 of the 5+C channels); class argmax stays in the
+    # input dtype where the bulk of the bytes are.
+    box = y[..., 0:5].astype(jnp.float32)
+    cx = (jax.nn.sigmoid(box[..., 0:1]) + ar[None, None, :, None, None]) / s
+    cy = (jax.nn.sigmoid(box[..., 1:2]) + ar[None, :, None, None, None]) / s
+    wh = jnp.exp(box[..., 2:4]) * anchors.astype(jnp.float32).reshape(1, 1, 1, a, 2) / s
+    scores = jax.nn.sigmoid(box[..., 4:5])
+    best_class = jnp.argmax(y[..., 5:], axis=-1)[..., None].astype(jnp.float32)
+    boxes = jnp.concatenate([cx, cy, wh, scores, best_class], axis=-1)
+    return boxes.reshape(b, s * s * a, 6)
+
+
+def decode_raw_all(raw_preds, scaled_anchors, grid_sizes, num_classes: int):
+    """Raw-head decode over all three scales -> (B, sum(S*S*A), 6)."""
+    parts = [
+        decode_raw_scale(r, scaled_anchors[i], grid_sizes[i], num_classes)
+        for i, r in enumerate(raw_preds)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
 def decode_all_scales(predictions, scaled_anchors, grid_sizes):
     """Decode and concatenate all three scales: (B, sum(3*S*S), 6).
 

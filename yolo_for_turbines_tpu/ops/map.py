@@ -114,7 +114,8 @@ def calc_map(
         recalls = cum_tp / total_true
         precisions = np.concatenate(([1.0], precisions))
         recalls = np.concatenate(([0.0], recalls))
-        average_precisions.append(np.trapz(precisions, recalls))
+        trapezoid = getattr(np, "trapezoid", np.trapz)
+        average_precisions.append(trapezoid(precisions, recalls))
 
     if not average_precisions:
         return 0.0

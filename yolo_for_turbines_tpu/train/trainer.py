@@ -65,7 +65,25 @@ class Trainer:
         )
         self.anchors = np.asarray(anchors, np.float32)
         self.model = YOLOv3(self.model_cfg)
-        self.mesh = mesh if mesh is not None else create_mesh()
+        if mesh is None:
+            # mesh size must divide the global batch; use the largest divisor
+            # of batch_size that fits the local device count. On the CPU
+            # backend (virtual devices), also cap at the physical core count:
+            # XLA CPU collectives hard-abort (40s rendezvous timeout) when an
+            # oversubscribed host can't run all participants concurrently.
+            import os as _os
+
+            import jax as _jax
+
+            n_avail = len(_jax.devices())
+            if _jax.devices()[0].platform == "cpu":
+                n_avail = min(n_avail, _os.cpu_count() or 1)
+            n = 1
+            for d in range(1, n_avail + 1):
+                if train_cfg.batch_size % d == 0:
+                    n = d
+            mesh = create_mesh(n)
+        self.mesh = mesh
         self.report_callback = report_callback
 
         rng = jax.random.PRNGKey(train_cfg.seed)
@@ -86,13 +104,15 @@ class Trainer:
         n_dev = self.mesh.devices.size
         mesh = self.mesh if n_dev > 1 else None
         self.train_step = make_train_step(self.model, self.tx, train_cfg, mesh)
-        self.eval_step = make_eval_step(self.model, train_cfg, mesh)
+        # eval runs unsharded: val batches may be ragged (no drop_last) and
+        # exactness beats parallelism on the small val set
+        self.eval_step = make_eval_step(self.model, train_cfg, mesh=None)
 
     # ------------------------------------------------------------------
 
-    def _put(self, images, targets):
+    def _put(self, images, targets, shard: bool = True):
         batch = (np.asarray(images), tuple(np.asarray(t) for t in targets))
-        if self.mesh.devices.size > 1:
+        if shard and self.mesh.devices.size > 1:
             return shard_batch(batch, self.mesh)
         return batch
 
@@ -125,7 +145,7 @@ class Trainer:
         n = 0
         for x, y in val_loader:
             anchors = scaled_anchors_for(self.anchors, x.shape[1])
-            x, y = self._put(x, y)
+            x, y = self._put(x, y, shard=False)
             metrics = self.eval_step(self.state, x, y, anchors)
             for k, v in metrics.items():
                 tots[k] = tots.get(k, 0.0) + float(v)
@@ -210,7 +230,9 @@ def train(
     )
 
     best_map = 0.0
-    best_state = trainer.state
+    # host-side snapshot: the jitted step donates (and deletes) device state,
+    # so the best state must be copied out, not aliased
+    best_state = jax.device_get(trainer.state)
     epoch = 0
     num_epochs = max(1, tc.max_num_steps // max(len(train_loader), 1))
     early_stop_limit = early_stop
@@ -224,7 +246,7 @@ def train(
         logger.log({"val_loss": val_loss})
         if mAP is not None:
             if mAP > best_map:
-                best_map, best_state = mAP, trainer.state
+                best_map, best_state = mAP, jax.device_get(trainer.state)
                 early_stop = early_stop_limit
             elif mAP < best_map:
                 early_stop -= 1
