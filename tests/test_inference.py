@@ -109,3 +109,22 @@ def test_pallas_iou_kernel_interpret_mode(rng):
         )
         got = np.asarray(iou_kernel.pairwise_iou_pallas.__wrapped__(boxes, "center"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_images_batched_serving(folded_model):
+    """Native-packed batched serving: per-image boxes in original frames."""
+    model, _, _, folded = folded_model
+    predictor = Predictor(
+        model, folded, image_size=128, conf_threshold=0.3, max_boxes=16,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 255, (100, 160, 3), dtype=np.uint8),
+        rng.integers(0, 255, (200, 120, 3), dtype=np.uint8),
+    ]
+    results = predictor.predict_images(imgs)
+    assert len(results) == 2
+    for boxes in results:
+        for b in boxes:
+            assert len(b) == 6
