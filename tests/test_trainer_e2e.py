@@ -117,3 +117,53 @@ def test_get_eval_boxes_with_loader(synth_data):
         assert row[5] > 0.5  # GT objectness
     mAP = evaluate_map(loader, model, state, cfg.TURBINE_ANCHORS, num_classes=2)
     assert 0.0 <= mAP <= 1.0
+
+
+def test_hpo_adapter_resumes(synth_data, tmp_path):
+    """ASHA adapter: epochs accumulate across rungs via resume_state."""
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+    from yolo_for_turbines_tpu.train.trainer import make_hpo_train_fn
+
+    orig_init = trainer_mod.Trainer.__init__
+
+    def patched(self, train_cfg, model_cfg=None, **kw):
+        model_cfg = ModelConfig(
+            num_classes=cfg.NUM_TURBINE_CLASSES,
+            activation=train_cfg.activation,
+            layer_config=MINI_LAYERS,
+        )
+        orig_init(self, train_cfg, model_cfg=model_cfg, **kw)
+
+    trainer_mod.Trainer.__init__ = patched
+    try:
+        fn = make_hpo_train_fn(
+            synth_data,
+            tmp_path,
+            image_folder=synth_data / "images",
+            annotation_folder=synth_data / "labels",
+            num_workers=2,
+        )
+        config = dict(
+            lr=1e-3, batch_size=4, max_num_steps=100, warmup_enabled=False,
+            multi_scale=False, image_size=64, compute_dtype="float32",
+        )
+        m1, state1 = fn(config, 1, None)
+        assert state1[-1] == 1  # epoch counter
+        m2, state2 = fn(config, 2, state1)
+        assert state2[-1] == 3
+        assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0
+    finally:
+        trainer_mod.Trainer.__init__ = orig_init
+
+
+def test_prewarm_buckets(synth_data):
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+
+    tc = TrainConfig(
+        lr=1e-3, batch_size=2, max_num_steps=10, warmup_enabled=False,
+        multi_scale=True, image_size=64, compute_dtype="float32",
+    )
+    model_cfg = ModelConfig(num_classes=2, layer_config=MINI_LAYERS)
+    trainer = trainer_mod.Trainer(tc, model_cfg=model_cfg)
+    trainer.prewarm(sizes=(64, 96))  # two buckets, no crash, state unchanged
+    assert int(trainer.state.step) == 0

@@ -110,6 +110,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def prewarm(self, sizes=None):
+        """Compile the train step for every multi-scale bucket up front
+        (SURVEY.md section 2 #9: one executable per size in
+        MULTI_SCALE_TRAIN_SIZES -- no recompilation storms mid-epoch).
+
+        Runs one dummy step per bucket through a throwaway state (jit's
+        cache keys on shapes/dtypes, not values), chaining the returned
+        state so donation stays legal.
+        """
+        if sizes is None:
+            sizes = (
+                cfg.MULTI_SCALE_TRAIN_SIZES
+                if self.cfg.multi_scale
+                else (self.cfg.image_size,)
+            )
+        state, _, _ = create_train_state(
+            self.model, self.cfg, rng=jax.random.PRNGKey(0)
+        )
+        b = self.cfg.batch_size
+        for size in sizes:
+            images = np.zeros((b, size, size, 3), np.float32)
+            targets = tuple(
+                np.zeros((b, 3, size // s, size // s, 6), np.float32)
+                for s in (32, 16, 8)
+            )
+            anchors = scaled_anchors_for(self.anchors, size)
+            x, y = self._put(images, targets)
+            state, _ = self.train_step(state, x, y, anchors)
+        jax.block_until_ready(state.step)
+
     def _put(self, images, targets, shard: bool = True):
         batch = (np.asarray(images), tuple(np.asarray(t) for t in targets))
         if shard and self.mesh.devices.size > 1:
@@ -176,6 +206,75 @@ class Trainer:
             if self.report_callback is not None:
                 self.report_callback({"mAP": mAP})
         return avg.get("val_loss", 0.0), mAP
+
+
+def make_hpo_train_fn(
+    csv_folder_path,
+    model_folder_path,
+    image_folder=None,
+    annotation_folder=None,
+    anchors=cfg.TURBINE_ANCHORS,
+    weights_path=None,
+    num_workers: int = 8,
+    eval_every: int = 1,
+):
+    """Adapter for the ASHA driver (train.hpo.tune_model).
+
+    Returns train_fn(config, num_epochs, resume_state) -> (mAP, resume_state):
+    trains `num_epochs` *additional* epochs, evaluating mAP at the end of the
+    budget, carrying (Trainer, loaders) across rungs so promoted trials
+    resume instead of restarting (matching Ray Tune's in-process
+    session.report flow, reference code/train.py:153,252-270).
+    """
+
+    def train_fn(config, num_epochs, resume_state):
+        tc = (
+            config
+            if isinstance(config, TrainConfig)
+            else TrainConfig(
+                **{
+                    k: v
+                    for k, v in config.items()
+                    if k in TrainConfig.__dataclass_fields__
+                }
+            )
+        )
+        if resume_state is None:
+            trainer = Trainer(tc, anchors=anchors, weights_path=weights_path)
+            loaders = get_loaders(
+                csv_folder_path,
+                batch_size=tc.batch_size,
+                anchors=anchors,
+                train=True,
+                image_folder=image_folder,
+                annotation_folder=annotation_folder,
+                num_workers=num_workers,
+                mosaic=tc.mosaic,
+                image_size=tc.image_size,
+            )
+            logger = MetricsLogger(
+                f"hpo_trial_{abs(hash(str(sorted(config.items() if isinstance(config, dict) else []))))%10**8}",
+                out_dir=model_folder_path,
+            )
+            epoch = 0
+        else:
+            trainer, loaders, logger, epoch = resume_state
+        train_loader, val_loader, train_ds = loaders
+
+        for _ in range(num_epochs):
+            trainer.train_one_epoch(train_ds, train_loader, logger)
+            epoch += 1
+        mAP = evaluate_map(
+            val_loader,
+            trainer.model,
+            trainer.state,
+            trainer.anchors,
+            num_classes=trainer.model_cfg.num_classes,
+        )
+        logger.log({"mAP": mAP, "epoch": epoch})
+        return mAP, (trainer, loaders, logger, epoch)
+
+    return train_fn
 
 
 def train(
