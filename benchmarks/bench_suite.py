@@ -1,0 +1,122 @@
+"""Extended benchmark suite (run on the TPU chip; bench.py stays the
+one-line headline). Prints one JSON object per metric.
+
+Covers the BASELINE.json tracked metrics beyond the headline:
+- NMS p50 latency (single image, decode+NMS program)
+- end-to-end batched inference throughput (the headline, re-measured)
+- training-step throughput at 416px (fine-tune config #3/#4)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from yolo_for_turbines_tpu import config as cfg
+from yolo_for_turbines_tpu.config import ModelConfig, TrainConfig
+from yolo_for_turbines_tpu.inference import Predictor
+from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+from yolo_for_turbines_tpu.ops.decode import decode_raw_all
+from yolo_for_turbines_tpu.ops.nms import batched_nms
+from yolo_for_turbines_tpu.train.steps import create_train_state, make_train_step
+
+
+def timeit(f, *a, iters=20, warmup=2):
+    for _ in range(warmup):
+        r = f(*a)
+    jax.block_until_ready(r)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = f(*a)
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50)), float(np.mean(times))
+
+
+def emit(metric, value, unit, extra=None):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    model = YOLOv3(ModelConfig(num_classes=80))
+    params, stats = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(params, stats)
+
+    # --- headline: batched inference throughput
+    B = 128
+    p = Predictor(model, folded, image_size=416, use_pallas_nms=True)
+    x = jnp.asarray(rng.uniform(0, 1, (B, 416, 416, 3)), jnp.bfloat16)
+    p50, mean = timeit(lambda: p.predict_batch(x), iters=15)
+    emit("coco_416_inference_throughput", B / mean, "images/sec/chip",
+         {"batch": B, "p50_ms": round(p50 * 1e3, 2)})
+
+    # --- single-image end-to-end latency (demo path)
+    p1 = Predictor(model, folded, image_size=416, use_pallas_nms=True)
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 416, 416, 3)), jnp.bfloat16)
+    p50, mean = timeit(lambda: p1.predict_batch(x1), iters=30)
+    emit("single_image_e2e_latency_p50", p50 * 1e3, "ms")
+
+    # --- NMS-only p50 latency (10647 candidate boxes -> K=256 survivors)
+    boxes = jnp.asarray(rng.uniform(0, 1, (1, 10647, 6)), jnp.float32)
+    nms = jax.jit(
+        lambda b: batched_nms(b, cfg.NMS_IOU_THRESHOLD, cfg.CONF_THRESHOLD, 256,
+                              use_pallas=True)
+    )
+    p50, mean = timeit(lambda: nms(boxes), iters=30)
+    emit("nms_p50_latency", p50 * 1e3, "ms", {"candidates": 10647, "k": 256})
+
+    nms_xla = jax.jit(
+        lambda b: batched_nms(b, cfg.NMS_IOU_THRESHOLD, cfg.CONF_THRESHOLD, 256,
+                              use_pallas=False)
+    )
+    p50, mean = timeit(lambda: nms_xla(boxes), iters=30)
+    emit("nms_p50_latency_xla_iou", p50 * 1e3, "ms")
+
+    # --- training step throughput (fine-tune config: 416px, 2 classes)
+    tmodel = YOLOv3(ModelConfig(num_classes=2, activation="mish"))
+    tc = TrainConfig(batch_size=32, max_num_steps=100)
+    state, tx, _ = create_train_state(tmodel, tc, rng=jax.random.PRNGKey(1))
+    step = make_train_step(tmodel, tx, tc)
+    bt = tc.batch_size
+    images = jnp.asarray(rng.uniform(0, 1, (bt, 416, 416, 3)), jnp.float32)
+    targets = tuple(
+        jnp.zeros((bt, 3, 416 // s, 416 // s, 6), jnp.float32) for s in (32, 16, 8)
+    )
+    anchors = jnp.asarray(
+        np.asarray(cfg.TURBINE_ANCHORS, np.float32)
+        * np.asarray(cfg.GRID_SIZES, np.float32).reshape(3, 1, 1)
+    )
+
+    def one_step(s):
+        s2, m = step(s, images, targets, anchors)
+        return s2, m
+
+    # chain state through timed iterations (donation-legal)
+    s = state
+    s, m = one_step(s)
+    jax.block_until_ready(m["loss"])
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        s, m = one_step(s)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    mean = float(np.mean(times))
+    emit("train_step_throughput_416_bs32", bt / mean, "images/sec/chip",
+         {"step_ms": round(mean * 1e3, 1)})
+
+
+if __name__ == "__main__":
+    main()

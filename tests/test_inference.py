@@ -128,3 +128,29 @@ def test_predict_images_batched_serving(folded_model):
     for boxes in results:
         for b in boxes:
             assert len(b) == 6
+
+
+def test_fused_nms_kernel_matches_xla(rng):
+    """Fused Pallas greedy NMS == XLA formulation (interpreter on CPU)."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from yolo_for_turbines_tpu.ops import nms as nms_mod
+    from yolo_for_turbines_tpu.ops.pallas import nms_kernel
+
+    boxes = np.zeros((3, 400, 6), np.float32)
+    boxes[..., 0:2] = rng.uniform(0.2, 0.8, (3, 400, 2))
+    boxes[..., 2:4] = rng.uniform(0.05, 0.4, (3, 400, 2))
+    boxes[..., 4] = rng.uniform(0, 1, (3, 400))
+    boxes[..., 5] = rng.integers(0, 3, (3, 400))
+
+    kept_x, keep_x = nms_mod.batched_nms(boxes, 0.45, 0.3, max_boxes=128)
+
+    orig = pl.pallas_call
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+        kept_p, keep_p = nms_mod.batched_nms(
+            boxes, 0.45, 0.3, max_boxes=128, use_pallas=True
+        )
+    np.testing.assert_array_equal(np.asarray(keep_x), np.asarray(keep_p))
+    np.testing.assert_allclose(np.asarray(kept_x), np.asarray(kept_p), rtol=1e-6)

@@ -89,3 +89,33 @@ def test_loss_weights_applied(rng):
     assert (L.LAMBDA_BOX, L.LAMBDA_OBJ, L.LAMBDA_NOOBJ, L.LAMBDA_CLASS) == (
         5.0, 1.0, 0.5, 1.0,
     )
+
+
+def test_legacy_quirk_mode(rng):
+    """Legacy mode reproduces the reference's in-place quirks: raw tx/th in
+    the box loss, sigmoid on (ty, tw), raw obj logit vs IoU target."""
+    preds, targets, anchors = _setup(rng)
+    targets[0, 0, 1, 1] = [0.3, 0.7, 0.5, 0.5, 1.0, 1.0]
+    std = yolo_loss(jnp.asarray(preds), jnp.asarray(targets), anchors)
+    leg = yolo_loss(jnp.asarray(preds), jnp.asarray(targets), anchors, legacy=True)
+    # box and obj terms differ; noobj and class identical
+    assert float(std[0]) != float(leg[0])
+    assert float(std[1]) != float(leg[1])
+    assert float(std[2]) == float(leg[2])
+    assert float(std[3]) == float(leg[3])
+
+    import numpy as np
+
+    p = np.asarray(preds)
+    t = np.asarray(targets)
+    a = np.asarray(anchors).reshape(1, -1, 1, 1, 2)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    # hand-computed legacy box loss at the single object cell
+    cell_p = p[0, 0, 1, 1]
+    box_terms = np.array([cell_p[0], sig(cell_p[1]), sig(cell_p[2]), cell_p[3]])
+    tgt = np.array(
+        [0.3, 0.7, np.log(1e-16 + 0.5 / a[0, 0, 0, 0, 0]),
+         np.log(1e-16 + 0.5 / a[0, 0, 0, 0, 1])]
+    )
+    want_box = 5.0 * np.mean((box_terms - tgt) ** 2)
+    np.testing.assert_allclose(float(leg[0]), want_box, rtol=1e-5)

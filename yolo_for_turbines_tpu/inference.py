@@ -129,6 +129,39 @@ class Predictor:
         )
 
 
+def load_predictor_from_checkpoint(
+    checkpoint_path: str,
+    num_classes: int = cfg.NUM_TURBINE_CLASSES,
+    activation: str = "mish",
+    anchors=cfg.TURBINE_ANCHORS,
+    image_size: int = cfg.DEF_IMAGE_SIZE,
+    conf_threshold: float = cfg.CONF_THRESHOLD,
+    nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
+    seed: int = 0,
+) -> Predictor:
+    """Build a Predictor from an orbax training checkpoint (the serving
+    analogue of the reference demo's pickled-model load, code/demo.py:16-28:
+    trained turbine weights rather than the official binary)."""
+    from .config import TrainConfig
+    from .train.checkpoint import load_checkpoint
+    from .train.steps import create_train_state
+
+    model = YOLOv3(cfg.ModelConfig(num_classes=num_classes, activation=activation))
+    state, _, _ = create_train_state(
+        model, TrainConfig(), rng=jax.random.PRNGKey(seed)
+    )
+    state = load_checkpoint(state, checkpoint_path)
+    folded = model.fold(state.params, state.batch_stats)
+    return Predictor(
+        model,
+        folded,
+        anchors=anchors,
+        image_size=image_size,
+        conf_threshold=conf_threshold,
+        nms_iou_threshold=nms_iou_threshold,
+    )
+
+
 def load_predictor(
     weights_path: str,
     num_classes: int = cfg.NUM_COCO_CLASSES,

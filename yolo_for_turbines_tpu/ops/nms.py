@@ -69,11 +69,17 @@ def nms_single(
     keep = top_scores > obj_threshold
 
     if use_pallas:
-        from .pallas.iou_kernel import pairwise_iou_pallas
+        # fused kernel: IoU matrix + greedy sweep in ONE launch (the XLA
+        # fori_loop below costs a kernel launch per candidate -- ~31ms p50
+        # at K=256 on v5e vs microseconds fused)
+        from .pallas.nms_kernel import greedy_nms_pallas
 
-        iou = pairwise_iou_pallas(cand[:, :4], box_format)
-    else:
-        iou = _pairwise_iou(cand[:, :4], box_format)
+        keep = greedy_nms_pallas(
+            cand[None], keep[None], iou_threshold, box_format=box_format
+        )[0]
+        return cand, keep
+
+    iou = _pairwise_iou(cand[:, :4], box_format)
     same_class = cand[:, 5][:, None] == cand[:, 5][None, :]
     later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]
     # suppress[i, j] = kept box i would suppress later box j
@@ -95,16 +101,38 @@ def batched_nms(
     box_format: str = "center",
     use_pallas: bool = False,
 ):
-    """Vmapped NMS over a batch: (B, N, 6) -> ((B, K, 6), (B, K) bool)."""
+    """Batched NMS: (B, N, 6) -> ((B, K, 6), (B, K) bool).
+
+    use_pallas runs the fused greedy kernel over the whole batch in one
+    launch (grid over B); otherwise the XLA formulation is vmapped.
+    """
+    boxes = jnp.asarray(boxes)
+    # The fused Pallas kernel wins at small batch (one launch instead of a
+    # K-step launch train: 1.14ms vs 1.31ms at B=1 on v5e) but its grid
+    # serializes per-image sweeps, so the vmapped XLA sweep -- K iterations
+    # of (B, K) work -- wins at batch (2.9ms vs 7.4ms at B=128).
+    if use_pallas and boxes.shape[0] <= 8:
+        from .pallas.nms_kernel import greedy_nms_pallas
+
+        k = min(max_boxes, boxes.shape[1])
+        scores = boxes[..., 4]
+        valid = scores > obj_threshold
+        masked = jnp.where(valid, scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+        cand = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        keep = top_scores > obj_threshold
+        keep = greedy_nms_pallas(cand, keep, iou_threshold, box_format=box_format)
+        return cand, keep
+
     fn = functools.partial(
         nms_single,
         iou_threshold=iou_threshold,
         obj_threshold=obj_threshold,
         max_boxes=max_boxes,
         box_format=box_format,
-        use_pallas=use_pallas,
+        use_pallas=False,
     )
-    return jax.vmap(fn)(jnp.asarray(boxes))
+    return jax.vmap(fn)(boxes)
 
 
 def nms_to_list(kept_boxes, keep_mask):

@@ -58,6 +58,7 @@ def yolo_loss(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
     anchors: jnp.ndarray,
+    legacy: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Loss for a single scale.
 
@@ -66,6 +67,12 @@ def yolo_loss(
         targets: (B, A, S, S, 6) [x_cell, y_cell, w_cell, h_cell, obj, class];
             obj is 1 (object), 0 (background) or -1 (ignore).
         anchors: (A, 2) anchors in cell units (scaled by grid size).
+        legacy: replicate the reference's in-place-mutation quirks exactly
+            (for behavioral-parity comparison, not recommended for training):
+            box loss uses [raw tx, sigmoid(ty), sigmoid(tw), raw th] because
+            code/loss.py:71 sigmoids channels [1:3], and the object loss
+            compares the *raw* objectness logit to the IoU target
+            (code/loss.py:67).
 
     Returns:
         (box_loss, object_loss, no_object_loss, class_loss), each weighted by
@@ -89,12 +96,26 @@ def yolo_loss(
     ious = jax.lax.stop_gradient(
         calc_iou(pred_boxes, targets[..., 0:4], box_format="center")
     )
-    obj_sq = (jax.nn.sigmoid(predictions[..., 4]) - ious * targets[..., 4]) ** 2
+    obj_pred = (
+        predictions[..., 4] if legacy else jax.nn.sigmoid(predictions[..., 4])
+    )
+    obj_sq = (obj_pred - ious * targets[..., 4]) ** 2
     object_loss = _masked_mean(obj_sq, obj_mask)
 
     # -- box loss in cell-offset space (wh as log-offsets for stability)
     target_wh = jnp.log(1e-16 + targets[..., 2:4] / anchors)
-    pred_box_terms = jnp.concatenate([pred_xy, predictions[..., 2:4]], axis=-1)
+    if legacy:
+        # reference quirk: sigmoid lands on channels [1:3] = (ty, tw)
+        pred_box_terms = jnp.concatenate(
+            [
+                predictions[..., 0:1],
+                jax.nn.sigmoid(predictions[..., 1:3]),
+                predictions[..., 3:4],
+            ],
+            axis=-1,
+        )
+    else:
+        pred_box_terms = jnp.concatenate([pred_xy, predictions[..., 2:4]], axis=-1)
     target_box_terms = jnp.concatenate([targets[..., 0:2], target_wh], axis=-1)
     box_sq = (pred_box_terms - target_box_terms) ** 2
     box_loss = _masked_mean(box_sq, obj_mask, n_extra=4)
