@@ -44,3 +44,10 @@ def mini_model(num_classes: int = 2, activation: str = "leaky_relu"):
             layer_config=MINI_LAYERS,
         )
     )
+
+
+# CSP variant of the mini model (("C", n) stages; same routes/heads).
+MINI_CSP_LAYERS = tuple(
+    ("C", e[1]) if isinstance(e, tuple) and e[0] == "B" else e
+    for e in MINI_LAYERS
+)

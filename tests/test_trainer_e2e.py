@@ -167,3 +167,38 @@ def test_prewarm_buckets(synth_data):
     trainer = trainer_mod.Trainer(tc, model_cfg=model_cfg)
     trainer.prewarm(sizes=(64, 96))  # two buckets, no crash, state unchanged
     assert int(trainer.state.step) == 0
+
+
+def test_mosaic_csp_training(synth_data, tmp_path):
+    """BASELINE config #5: mosaic-augmentation training + CSPDarknet variant
+    (reference README future work), end to end on the mini CSP model."""
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+    from helpers import MINI_CSP_LAYERS
+    from yolo_for_turbines_tpu.train.trainer import train
+
+    orig_init = trainer_mod.Trainer.__init__
+
+    def patched(self, train_cfg, model_cfg=None, **kw):
+        model_cfg = ModelConfig(
+            num_classes=cfg.NUM_TURBINE_CLASSES,
+            activation=train_cfg.activation,
+            layer_config=MINI_CSP_LAYERS,
+        )
+        orig_init(self, train_cfg, model_cfg=model_cfg, **kw)
+
+    trainer_mod.Trainer.__init__ = patched
+    try:
+        tc = TrainConfig(
+            lr=1e-3, batch_size=4, max_num_steps=2, warmup_enabled=False,
+            multi_scale=False, mosaic=True, image_size=64,
+            compute_dtype="float32",
+        )
+        train(
+            tc, synth_data, tmp_path, identifier="mosaiccsp", early_stop=2,
+            image_folder=synth_data / "images",
+            annotation_folder=synth_data / "labels",
+            num_workers=2,
+        )
+    finally:
+        trainer_mod.Trainer.__init__ = orig_init
+    assert (tmp_path / "best_model_mosaiccsp.ckpt").exists()

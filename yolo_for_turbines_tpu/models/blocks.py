@@ -140,6 +140,8 @@ def apply_conv_block(
         return y, None, None
 
     if train:
+        # statistics in f32 (fused reductions -- no f32 activation tensor is
+        # materialized), running stats with torch momentum semantics
         yf = y.astype(jnp.float32)
         batch_mean = jnp.mean(yf, axis=(0, 1, 2))
         batch_var = jnp.var(yf, axis=(0, 1, 2))
@@ -154,9 +156,13 @@ def apply_conv_block(
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
 
+    # scale/shift computed in f32, applied in the compute dtype: the
+    # normalize + activation stay a bf16 elementwise pass fused into the
+    # conv epilogue instead of read/writing full f32 activations
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    y = y.astype(jnp.float32) * inv + (params["bias"] - mean * inv)
-    y = activation(y).astype(compute_dtype)
+    shift = params["bias"] - mean * inv
+    y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)
+    y = activation(y)
     return y, new_stats, None
 
 

@@ -290,6 +290,8 @@ def train(
     weights_path=None,
     report_callback=None,
     num_workers: int = 8,
+    backbone: str = "darknet53",
+    num_classes: int = cfg.NUM_TURBINE_CLASSES,
 ) -> float:
     """Reference-parity train() entry (code/train.py:158-239). Returns best mAP."""
     if isinstance(hyperparam_config, TrainConfig):
@@ -308,7 +310,14 @@ def train(
         out_dir=model_folder_path,
     )
     trainer = Trainer(
-        tc, anchors=anchors, weights_path=weights_path,
+        tc,
+        model_cfg=ModelConfig(
+            num_classes=num_classes,
+            activation=tc.activation,
+            backbone=backbone,
+        ),
+        anchors=anchors,
+        weights_path=weights_path,
         report_callback=report_callback,
     )
     if tc.load_checkpoint and checkpoint_name:
