@@ -51,6 +51,13 @@ TURBINE_ANCHORS = (
     ((0.016, 0.0349), (0.0408, 0.0598), (0.110, 0.0777)),
 )
 
+# Official yolov3-tiny anchors (pixel values / 416), 2 scales x 3 anchors,
+# coarse (stride 32) scale first.
+TINY_ANCHORS = (
+    ((81 / 416, 82 / 416), (135 / 416, 169 / 416), (344 / 416, 319 / 416)),
+    ((10 / 416, 14 / 416), (23 / 416, 27 / 416), (37 / 416, 58 / 416)),
+)
+
 GRID_SIZES = (DEF_IMAGE_SIZE // 32, DEF_IMAGE_SIZE // 16, DEF_IMAGE_SIZE // 8)
 
 STRIDES = (32, 16, 8)
@@ -77,9 +84,9 @@ COCO_LABELS = (
 NUM_COCO_CLASSES = len(COCO_LABELS)
 
 
-def grid_sizes_for(image_size: int) -> Tuple[int, int, int]:
-    """Grid sizes for the three detection scales at a given image size."""
-    return (image_size // 32, image_size // 16, image_size // 8)
+def grid_sizes_for(image_size: int, strides: Sequence[int] = STRIDES) -> tuple:
+    """Grid sizes for the detection scales at a given image size."""
+    return tuple(image_size // s for s in strides)
 
 
 def anchors_array(anchors=ANCHORS) -> np.ndarray:
@@ -152,6 +159,9 @@ class ModelConfig:
     activation: str = "leaky_relu"  # or "mish"
     backbone: str = "darknet53"  # or "cspdarknet53"
     anchors_per_scale: int = 3
+    # Output stride per detection scale, coarsest first. YOLOv3 has three
+    # scales; yolov3_tiny two (32, 16).
+    strides: tuple = (32, 16, 8)
     # Optional custom architecture through the same declarative layer DSL
     # (tuple of entries; overrides the backbone choice when set). Hashable so
     # the config stays jit-cache-safe.

@@ -118,7 +118,9 @@ class YOLODataset:
         # scales concatenated: (9, 2), stride-32 anchors first
         self.anchors = np.asarray(anchors, np.float64).reshape(-1, 2)
         self.num_anchors = len(self.anchors)
-        self.num_anchors_per_scale = self.num_anchors // 3
+        self.num_scales = len(list(grid_sizes))
+        self.num_anchors_per_scale = self.num_anchors // self.num_scales
+        self.strides = tuple(image_size // g for g in grid_sizes)
         self.batch_size = batch_size
         self.num_batch_to_resize = num_batch_to_resize
         self.image_size = image_size
@@ -160,11 +162,7 @@ class YOLODataset:
         """Re-bucket to a random multi-scale size
         (reference: code/dataset.py:113-117)."""
         self.image_size = int(self.rng.choice(cfg.MULTI_SCALE_TRAIN_SIZES))
-        self.grid_sizes = [
-            self.image_size // 32,
-            self.image_size // 16,
-            self.image_size // 8,
-        ]
+        self.grid_sizes = [self.image_size // s for s in self.strides]
         self.transform = set_train_transforms(self.image_size, mosaic=self.mosaic)
 
     def apply_augmentations(self, img, boxes, idx):

@@ -66,10 +66,10 @@ class Predictor:
     def _pipeline(self, params, x, *, image_size: int):
         from .ops.decode import decode_raw_all
 
-        grid_sizes = cfg.grid_sizes_for(image_size)
+        grid_sizes = cfg.grid_sizes_for(image_size, self.model.strides)
         scaled_anchors = jnp.asarray(self.anchors) * jnp.asarray(
             grid_sizes, jnp.float32
-        ).reshape(3, 1, 1)
+        ).reshape(-1, 1, 1)
         # raw-head fast path: decode consumes the NHWC conv output directly,
         # skipping the (B, A, S, S, 5+C) transpose + f32 materialization
         raw = self.model.apply_folded(
@@ -171,11 +171,23 @@ def load_predictor(
     conf_threshold: float = cfg.CONF_THRESHOLD,
     nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
     seed: int = 0,
+    backbone: str = "darknet53",
 ) -> Predictor:
-    """Build a Predictor from an official darknet weight file."""
+    """Build a Predictor from an official darknet weight file.
+
+    For yolov3-tiny: backbone="yolov3_tiny" + anchors=config.TINY_ANCHORS
+    (strides follow the backbone automatically)."""
     from .models.darknet_weights import load_darknet_weights
 
-    model = YOLOv3(cfg.ModelConfig(num_classes=num_classes, activation=activation))
+    strides = (32, 16) if backbone == "yolov3_tiny" else (32, 16, 8)
+    model = YOLOv3(
+        cfg.ModelConfig(
+            num_classes=num_classes,
+            activation=activation,
+            backbone=backbone,
+            strides=strides,
+        )
+    )
     params, stats = model.init(jax.random.PRNGKey(seed))
     params, stats, _, _ = load_darknet_weights(weights_path, model.plan, params, stats)
     folded = model.fold(params, stats)

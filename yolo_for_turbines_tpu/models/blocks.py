@@ -179,6 +179,20 @@ def fold_conv_bn(params: Dict, stats: Dict) -> Dict:
     return {"w": w, "b": b}
 
 
+def maxpool2d(x, kernel: int, stride: int):
+    """NHWC max pool. stride==1 uses SAME padding (darknet's tiny-YOLO
+    maxpool 2/1 keeps the 13x13 map); otherwise VALID with stride==kernel."""
+    padding = "SAME" if stride == 1 else "VALID"
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        padding,
+    )
+
+
 def upsample2x(x):
     """Nearest-neighbor 2x upsample, NHWC (reference: nn.Upsample, code/model.py:222)."""
     b, h, w, c = x.shape

@@ -27,7 +27,15 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .yolov3 import Plan, PlanConv, PlanHead, PlanResidual, PlanUpsample
+from .yolov3 import (
+    Plan,
+    PlanConv,
+    PlanHead,
+    PlanMaxPool,
+    PlanResidual,
+    PlanRoute,
+    PlanUpsample,
+)
 
 
 class _Reader:
@@ -157,14 +165,14 @@ def load_darknet_weights(
         elif isinstance(entry, PlanHead):
             c = entry.in_ch
             out_ch = (entry.num_classes + 5) * entry.anchors_per_scale
-            l1 = _load_conv_with_bn(reader, p["conv1"], s["conv1"], c, 2 * c, 3)
-            conv = reader.read_conv(out_ch, 2 * c, 1, bias=True)
+            l1 = _load_conv_with_bn(reader, p["conv1"], s["conv1"], c, entry.mid, 3)
+            conv = reader.read_conv(out_ch, entry.mid, 1, bias=True)
             l2 = conv is not None
             if conv is not None:
                 p["conv2"]["w"] = conv[0]
                 p["conv2"]["b"] = conv[1]
             loaded_flags.append({"conv1": l1, "conv2": l2})
-        elif isinstance(entry, PlanUpsample):
+        elif isinstance(entry, (PlanUpsample, PlanMaxPool, PlanRoute)):
             loaded_flags.append({})
         else:
             # CSP stages have no darknet pretrained counterpart: skip.
@@ -217,9 +225,10 @@ def expected_num_floats(plan: Plan) -> int:
             total += entry.num_blocks * per_block
         elif isinstance(entry, PlanHead):
             c = entry.in_ch
+            m = entry.mid
             out_ch = (entry.num_classes + 5) * entry.anchors_per_scale
-            total += 4 * 2 * c + 2 * c * c * 9  # 3x3 conv with BN
-            total += out_ch + out_ch * 2 * c  # 1x1 bias conv
+            total += 4 * m + m * c * 9  # 3x3 conv with BN
+            total += out_ch + out_ch * m  # 1x1 bias conv
     return total
 
 

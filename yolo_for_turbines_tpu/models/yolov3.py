@@ -87,12 +87,32 @@ class PlanResidual:
 
 @dataclasses.dataclass(frozen=True)
 class PlanHead:
-    """Scale prediction head: 3x3 double-channels then 1x1 (bias, no BN) to
-    3*(5+C) channels (reference: code/model.py:133-148)."""
+    """Scale prediction head: 3x3 conv (to mid_ch, default 2*in_ch) then 1x1
+    (bias, no BN) to A*(5+C) channels (reference: code/model.py:133-148).
+    The head is a *branch*: the trunk continues from its input."""
 
     in_ch: int
     num_classes: int
     anchors_per_scale: int = 3
+    mid_ch: Optional[int] = None  # tiny-YOLO heads use a non-doubling mid
+
+    @property
+    def mid(self) -> int:
+        return self.mid_ch if self.mid_ch is not None else 2 * self.in_ch
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanMaxPool:
+    """Max pool (darknet tiny-YOLO backbone); stride 1 = SAME padding."""
+
+    kernel: int = 2
+    stride: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanRoute:
+    """Explicit route marker: push the current feature map for a later
+    upsample-concat (tiny-YOLO has no 8-block residual to hang it on)."""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,25 +198,29 @@ def _init_entry(rng, entry, activation):
     if isinstance(entry, PlanHead):
         k1, k2 = jax.random.split(rng)
         out_ch = (entry.num_classes + 5) * entry.anchors_per_scale
-        p1, s1 = init_conv(k1, entry.in_ch, entry.in_ch * 2, 3)
-        p2, s2 = init_conv(k2, entry.in_ch * 2, out_ch, 1, bn=False)
+        p1, s1 = init_conv(k1, entry.in_ch, entry.mid, 3)
+        p2, s2 = init_conv(k2, entry.mid, out_ch, 1, bn=False)
         return {"conv1": p1, "conv2": p2}, {"conv1": s1, "conv2": s2}
-    if isinstance(entry, PlanUpsample):
+    if isinstance(entry, (PlanUpsample, PlanMaxPool, PlanRoute)):
         return {}, {}
     raise TypeError(entry)
 
 
-def init(rng: jax.Array, cfg: ModelConfig, layer_config=LAYER_CONFIG):
-    """Initialize (params, batch_stats) pytrees aligned with the plan."""
-    plan = build_plan(cfg, layer_config)
+def init_plan(rng: jax.Array, plan: Plan, activation: str = "leaky_relu"):
+    """Initialize (params, batch_stats) pytrees aligned with a plan."""
     keys = jax.random.split(rng, len(plan))
     params, stats = [], []
-    act = get_activation(cfg.activation)
+    act = get_activation(activation)
     for key, entry in zip(keys, plan):
         p, s = _init_entry(key, entry, act)
         params.append(p)
         stats.append(s)
     return list(params), list(stats)
+
+
+def init(rng: jax.Array, cfg: ModelConfig, layer_config=LAYER_CONFIG):
+    """Initialize (params, batch_stats) pytrees for a DSL layer config."""
+    return init_plan(rng, build_plan(cfg, layer_config), cfg.activation)
 
 
 def param_count(params) -> int:
@@ -282,6 +306,14 @@ def apply(
             )
             new_stats.append({"conv1": ns1, "conv2": None})
             # x is untouched: the head is a branch (reference: code/model.py:177-179)
+        elif isinstance(entry, PlanMaxPool):
+            from .blocks import maxpool2d
+
+            x = maxpool2d(x, entry.kernel, entry.stride)
+            new_stats.append({})
+        elif isinstance(entry, PlanRoute):
+            routes.append(x)
+            new_stats.append({})
         elif isinstance(entry, PlanUpsample):
             x = upsample2x(x)
             x = jnp.concatenate([x, routes.pop().astype(x.dtype)], axis=-1)
@@ -393,6 +425,12 @@ def apply_inference(
                         entry.anchors_per_scale,
                     )
                 )
+        elif isinstance(entry, PlanMaxPool):
+            from .blocks import maxpool2d
+
+            x = maxpool2d(x, entry.kernel, entry.stride)
+        elif isinstance(entry, PlanRoute):
+            routes.append(x)
         elif isinstance(entry, PlanUpsample):
             x = upsample2x(x)
             x = jnp.concatenate([x, routes.pop().astype(x.dtype)], axis=-1)
@@ -422,10 +460,19 @@ class YOLOv3:
 
     @property
     def plan(self) -> Plan:
+        if self.cfg.backbone == "yolov3_tiny" and self.cfg.layer_config is None:
+            from .yolov3_tiny import build_tiny_plan
+
+            return build_tiny_plan(self.cfg)
         return build_plan(self.cfg, self.layer_config)
 
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        """Output stride per detection scale, coarsest first."""
+        return self.cfg.strides
+
     def init(self, rng):
-        return init(rng, self.cfg, self.layer_config)
+        return init_plan(rng, self.plan, self.cfg.activation)
 
     def apply(self, params, batch_stats, x, *, train=False, compute_dtype=jnp.bfloat16):
         return apply(

@@ -27,16 +27,25 @@ from ..ops.map import calc_map
 from ..ops.nms import batched_nms
 
 
-def make_eval_boxes_step(model, compute_dtype=jnp.bfloat16, max_boxes: int = 256):
+def make_eval_boxes_step(
+    model, compute_dtype=jnp.bfloat16, max_boxes: int = 256, max_gt: int = 128
+):
     """Returns jitted fn(params, batch_stats, images, targets2, anchors,
-    conf, nms_iou) -> (kept (B,K,6), mask (B,K), true (B, 3*S*S, 6))."""
+    conf, nms_iou) -> (kept (B,K,6), mask (B,K), true (B, max_gt, 6)).
+
+    Ground truth is top-k'd by objectness ON DEVICE (real GT cells carry
+    score 1.0, empty cells 0.0), so the host transfer is K+max_gt rows per
+    image instead of every grid cell -- the reference `.tolist()`s the whole
+    (B, 3*S*S, 6) tensor (code/utils.py:148)."""
+
+    strides = model.strides
 
     @functools.partial(jax.jit, static_argnames=("image_size",))
     def step(params, batch_stats, images, targets_fine, anchors, *, image_size):
-        grid_sizes = cfg.grid_sizes_for(image_size)
+        grid_sizes = cfg.grid_sizes_for(image_size, strides)
         scaled = jnp.asarray(anchors, jnp.float32) * jnp.asarray(
             grid_sizes, jnp.float32
-        ).reshape(3, 1, 1)
+        ).reshape(-1, 1, 1)
         preds, _ = model.apply(
             params, batch_stats, images, train=False, compute_dtype=compute_dtype
         )
@@ -47,7 +56,10 @@ def make_eval_boxes_step(model, compute_dtype=jnp.bfloat16, max_boxes: int = 256
             obj_threshold=cfg.CONF_THRESHOLD,
             max_boxes=max_boxes,
         )
-        true = decode_scale(targets_fine, scaled[2], grid_sizes[2], is_pred=False)
+        true = decode_scale(targets_fine, scaled[-1], grid_sizes[-1], is_pred=False)
+        k = min(max_gt, true.shape[1])
+        _, idx = jax.lax.top_k(true[..., 4], k)
+        true = jnp.take_along_axis(true, idx[..., None], axis=1)
         return kept, mask, true
 
     return step
@@ -74,7 +86,7 @@ def get_eval_boxes(
             state.params,
             state.batch_stats,
             jnp.asarray(images),
-            jnp.asarray(targets[2]),
+            jnp.asarray(targets[-1]),  # finest scale (parity: utils.py:311-315)
             np.asarray(anchors, np.float32),
             image_size=images.shape[1],
         )

@@ -44,8 +44,8 @@ from .metrics import MetricsLogger
 from .steps import TrainState, create_train_state, make_eval_step, make_train_step
 
 
-def scaled_anchors_for(anchors, image_size: int) -> np.ndarray:
-    gs = np.asarray(cfg.grid_sizes_for(image_size), np.float32)
+def scaled_anchors_for(anchors, image_size: int, strides=cfg.STRIDES) -> np.ndarray:
+    gs = np.asarray(cfg.grid_sizes_for(image_size, strides), np.float32)
     return np.asarray(anchors, np.float32) * gs[:, None, None]
 
 
@@ -129,13 +129,14 @@ class Trainer:
             self.model, self.cfg, rng=jax.random.PRNGKey(0)
         )
         b = self.cfg.batch_size
+        a = self.model_cfg.anchors_per_scale
         for size in sizes:
             images = np.zeros((b, size, size, 3), np.float32)
             targets = tuple(
-                np.zeros((b, 3, size // s, size // s, 6), np.float32)
-                for s in (32, 16, 8)
+                np.zeros((b, a, size // s, size // s, 6), np.float32)
+                for s in self.model.strides
             )
-            anchors = scaled_anchors_for(self.anchors, size)
+            anchors = scaled_anchors_for(self.anchors, size, self.model.strides)
             x, y = self._put(images, targets)
             state, _ = self.train_step(state, x, y, anchors)
         jax.block_until_ready(state.step)
@@ -147,16 +148,26 @@ class Trainer:
         return batch
 
     def train_one_epoch(self, train_ds, train_loader, logger):
+        from ..data.loader import prefetch_to_device
+        from ..parallel.mesh import batch_sharding
+
         tots = {}
         n = 0
-        for batch_idx, (x, y) in enumerate(train_loader):
+        # double-buffered device placement: batch N+1's host->HBM transfer
+        # (sharded over the mesh when DP) overlaps batch N's step
+        sharding = (
+            batch_sharding(self.mesh) if self.mesh.devices.size > 1 else None
+        )
+        batches = prefetch_to_device(train_loader, size=2, sharding=sharding)
+        for batch_idx, (x, y) in enumerate(batches):
             if (
                 self.cfg.multi_scale
                 and (batch_idx + 1) % self.cfg.num_batch_to_resize == 0
             ):
                 train_ds.change_scale()  # next batches re-bucket
-            anchors = scaled_anchors_for(self.anchors, x.shape[1])
-            x, y = self._put(x, y)
+            anchors = scaled_anchors_for(
+                self.anchors, x.shape[1], self.model.strides
+            )
             self.state, metrics = self.train_step(self.state, x, y, anchors)
             logger.log({"lr": self.schedule(int(self.state.step) - 1)})
             for k, v in metrics.items():
@@ -174,7 +185,9 @@ class Trainer:
         tots = {}
         n = 0
         for x, y in val_loader:
-            anchors = scaled_anchors_for(self.anchors, x.shape[1])
+            anchors = scaled_anchors_for(
+                self.anchors, x.shape[1], self.model.strides
+            )
             x, y = self._put(x, y, shard=False)
             metrics = self.eval_step(self.state, x, y, anchors)
             for k, v in metrics.items():
