@@ -189,3 +189,39 @@ def test_map_classes_without_gt_are_skipped():
     truths = [[0, 0.5, 0.5, 0.2, 0.2, 1.0, 0]]
     # num_classes=5 but only class 0 has GT
     assert calc_map(preds, truths, 0.5, "center", num_classes=5) == pytest.approx(1.0)
+
+
+def test_device_map_matches_host(rng):
+    """calc_map_device (jit, padded) == calc_map (numpy) on random data."""
+    import jax.numpy as jnp
+    from yolo_for_turbines_tpu.ops.map import calc_map_device
+
+    for trial in range(3):
+        n_img, n_cls = 4, 3
+        gt_rows, pred_rows = [], []
+        for img in range(n_img):
+            for _ in range(int(rng.integers(1, 4))):
+                gt_rows.append(
+                    [img, *rng.uniform(0.2, 0.8, 2), *rng.uniform(0.1, 0.3, 2),
+                     1.0, int(rng.integers(n_cls))]
+                )
+            for _ in range(int(rng.integers(1, 6))):
+                pred_rows.append(
+                    [img, *rng.uniform(0.2, 0.8, 2), *rng.uniform(0.1, 0.3, 2),
+                     float(rng.uniform(0.3, 1.0)), int(rng.integers(n_cls))]
+                )
+        want = calc_map(pred_rows, gt_rows, 0.5, "center", n_cls)
+
+        # pad to fixed sizes
+        P, G = 32, 24
+        preds = np.zeros((P, 7), np.float32)
+        gts = np.zeros((G, 7), np.float32)
+        preds[: len(pred_rows)] = pred_rows
+        gts[: len(gt_rows)] = gt_rows
+        pv = np.arange(P) < len(pred_rows)
+        gv = np.arange(G) < len(gt_rows)
+        got = float(
+            calc_map_device(preds, pv, gts, gv, iou_threshold=0.5,
+                            num_classes=n_cls)
+        )
+        assert got == pytest.approx(want, abs=1e-5), (trial, got, want)

@@ -202,3 +202,33 @@ def test_mosaic_csp_training(synth_data, tmp_path):
     finally:
         trainer_mod.Trainer.__init__ = orig_init
     assert (tmp_path / "best_model_mosaiccsp.ckpt").exists()
+
+
+def test_device_map_matches_host_eval(synth_data):
+    """evaluate_map_device == evaluate_map on a real loader."""
+    import jax
+    import jax.numpy as jnp
+
+    from helpers import mini_model
+    from yolo_for_turbines_tpu.data.loader import get_loaders
+    from yolo_for_turbines_tpu.train.evaluate import (
+        evaluate_map,
+        evaluate_map_device,
+    )
+    from yolo_for_turbines_tpu.train.steps import create_train_state
+
+    model = mini_model()
+    tc = TrainConfig(compute_dtype="float32", image_size=64)
+    state, _, _ = create_train_state(model, tc, rng=jax.random.PRNGKey(0))
+    loader = get_loaders(
+        synth_data, batch_size=4, anchors=cfg.TURBINE_ANCHORS, train=False,
+        image_folder=synth_data / "images",
+        annotation_folder=synth_data / "labels",
+        num_workers=2, image_size=64,
+    )
+    host = evaluate_map(loader, model, state, cfg.TURBINE_ANCHORS, num_classes=2)
+    dev = evaluate_map_device(
+        loader, model, state, cfg.TURBINE_ANCHORS, num_classes=2,
+        compute_dtype=jnp.float32,
+    )
+    assert dev == pytest.approx(host, abs=1e-5)

@@ -120,3 +120,88 @@ def calc_map(
     if not average_precisions:
         return 0.0
     return float(sum(average_precisions) / len(average_precisions))
+
+
+def calc_map_device(
+    pred_boxes,
+    pred_valid,
+    true_boxes,
+    true_valid,
+    iou_threshold: float = 0.5,
+    num_classes: int = 20,
+):
+    """Fully on-device mAP over fixed-size padded rows (jit-compatible).
+
+    The BASELINE north star asks that mAP eval never round-trip to host;
+    this is the device-side twin of `calc_map` with identical semantics:
+    per class, detections sorted by descending score greedily match their
+    image's best-IoU unmatched GT (strict > threshold), cumulative TP/FP ->
+    trapezoidal AP with a prepended (0, 1) point, mean over classes with GT.
+
+    Args:
+        pred_boxes: (N, 7) [image_id, cx, cy, w, h, score, class], padded.
+        pred_valid: (N,) bool.
+        true_boxes: (M, 7) same layout (score column unused), padded.
+        true_valid: (M,) bool.
+
+    Returns:
+        scalar jnp mAP. The greedy match is a lax.scan over detections
+        (inherently sequential), each step O(M) -- fine for eval cadence.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .iou import calc_iou
+
+    preds = jnp.asarray(pred_boxes, jnp.float32)
+    gts = jnp.asarray(true_boxes, jnp.float32)
+    pred_valid = jnp.asarray(pred_valid)
+    true_valid = jnp.asarray(true_valid)
+
+    # IoU of every detection against every GT, gated by same-image
+    iou_all = calc_iou(preds[:, None, 1:5], gts[None, :, 1:5], "center")
+    same_img = preds[:, 0:1] == gts[None, :, 0]
+    same_cls = preds[:, 6:7] == gts[None, :, 6]
+
+    def ap_for_class(c):
+        det_ok = pred_valid & (preds[:, 6] == c)
+        gt_ok = true_valid & (gts[:, 6] == c)
+        total_true = jnp.sum(gt_ok)
+
+        order = jnp.argsort(jnp.where(det_ok, -preds[:, 5], jnp.inf), stable=True)
+        det_ok_sorted = det_ok[order]
+        pair_ok = (same_img & same_cls)[order] & gt_ok[None, :]
+        iou_sorted = jnp.where(pair_ok, iou_all[order], 0.0)
+
+        def step(matched, inputs):
+            # parity with the host greedy (code/utils.py:234-255): best IoU
+            # over ALL same-image GTs; a detection whose best GT is already
+            # matched is an FP (it does not fall back to the runner-up)
+            ious_i, ok_i = inputs
+            best = jnp.argmax(ious_i)
+            best_iou = ious_i[best]
+            is_tp = ok_i & (best_iou > iou_threshold) & ~matched[best]
+            matched = matched.at[best].set(matched[best] | is_tp)
+            return matched, is_tp
+
+        matched0 = jnp.zeros(gts.shape[0], bool)
+        _, tps = jax.lax.scan(step, matched0, (iou_sorted, det_ok_sorted))
+        tp = tps.astype(jnp.float32)
+        fp = jnp.where(det_ok_sorted, 1.0 - tp, 0.0)
+
+        cum_tp = jnp.cumsum(tp)
+        cum_fp = jnp.cumsum(fp)
+        precisions = cum_tp / jnp.maximum(cum_tp + cum_fp, 1e-16)
+        recalls = cum_tp / jnp.maximum(total_true, 1e-16)
+        precisions = jnp.concatenate([jnp.ones(1), precisions])
+        recalls = jnp.concatenate([jnp.zeros(1), recalls])
+        # invalid/padded rows sort last and leave both cumsums unchanged, so
+        # they add zero-width trapezoids -- no masking needed in the integral
+        ap = jnp.sum(
+            (recalls[1:] - recalls[:-1]) * (precisions[1:] + precisions[:-1]) / 2
+        )
+        return ap, total_true > 0
+
+    aps, has_gt = jax.vmap(ap_for_class)(jnp.arange(num_classes, dtype=jnp.float32))
+    n = jnp.sum(has_gt)
+    return jnp.where(n > 0, jnp.sum(jnp.where(has_gt, aps, 0.0)) / jnp.maximum(n, 1), 0.0)

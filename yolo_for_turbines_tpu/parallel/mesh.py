@@ -35,8 +35,33 @@ def create_mesh(
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+DCN_AXIS = "dcn"
+
+
+def create_multislice_mesh(
+    n_slices: int, chips_per_slice: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D ("dcn", "data") mesh for multi-slice data parallelism.
+
+    Batches shard over BOTH axes (see `batch_sharding`), so XLA's gradient
+    all-reduce decomposes hierarchically: reduce-scatter/all-gather over the
+    fast ICI ring within each slice, and only the per-slice partial crosses
+    the slow DCN link -- the standard scaling-book layout. Single-slice
+    training should use `create_mesh` (pure ICI).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_slices * chips_per_slice
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_slices, chips_per_slice)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
+    """Shard the leading (batch) axis across all data-parallel axes."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -163,3 +163,58 @@ def evaluate_map(
         preds, trues, iou_threshold=map_iou_threshold,
         box_format="center", num_classes=num_classes,
     )
+
+
+def evaluate_map_device(
+    loader,
+    model,
+    state,
+    anchors,
+    num_classes: int,
+    map_iou_threshold: float = cfg.MAP_IOU_THRESHOLD,
+    obj_threshold: float = cfg.CONF_THRESHOLD,
+    max_boxes: int = 256,
+    max_gt: int = 128,
+    compute_dtype=jnp.bfloat16,
+) -> float:
+    """mAP eval that never round-trips boxes to the host (BASELINE north
+    star): per-batch forward/decode/NMS results stay on device; rows are
+    concatenated there and `ops.map.calc_map_device` reduces them to one
+    scalar. Only that scalar crosses the wire."""
+    from ..ops.map import calc_map_device
+
+    step = make_eval_boxes_step(model, compute_dtype, max_boxes, max_gt)
+    pred_rows, pred_ok, true_rows, true_ok = [], [], [], []
+    data_idx = 0
+    for images, targets in loader:
+        kept, mask, true = step(
+            state.params,
+            state.batch_stats,
+            jnp.asarray(images),
+            jnp.asarray(targets[-1]),
+            np.asarray(anchors, np.float32),
+            image_size=images.shape[1],
+        )
+        b, k = kept.shape[0], kept.shape[1]
+        ids = (data_idx + jnp.arange(b, dtype=jnp.float32))[:, None]
+        preds7 = jnp.concatenate(
+            [jnp.broadcast_to(ids[..., None], (b, k, 1)), kept], axis=-1
+        ).reshape(b * k, 7)
+        g = true.shape[1]
+        trues7 = jnp.concatenate(
+            [jnp.broadcast_to(ids[..., None], (b, g, 1)), true], axis=-1
+        ).reshape(b * g, 7)
+        pred_rows.append(preds7)
+        pred_ok.append(mask.reshape(-1))
+        true_rows.append(trues7)
+        true_ok.append((true[..., 4] > obj_threshold).reshape(-1))
+        data_idx += b
+    mAP = calc_map_device(
+        jnp.concatenate(pred_rows),
+        jnp.concatenate(pred_ok),
+        jnp.concatenate(true_rows),
+        jnp.concatenate(true_ok),
+        iou_threshold=map_iou_threshold,
+        num_classes=num_classes,
+    )
+    return float(mAP)
