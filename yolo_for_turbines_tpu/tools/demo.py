@@ -48,6 +48,11 @@ def run_cli(argv=None):
     ap.add_argument("--nms-iou", type=float, default=cfg.NMS_IOU_THRESHOLD)
     args = ap.parse_args(argv)
 
+    for path_arg, what in ((args.weights, "weights"), (args.image, "image")):
+        if not Path(path_arg).exists():
+            print(f"error: {what} file not found: {path_arg}", file=sys.stderr)
+            raise SystemExit(2)
+
     class_list = (
         cfg.COCO_LABELS if args.num_classes == cfg.NUM_COCO_CLASSES
         else cfg.TURBINE_LABELS
