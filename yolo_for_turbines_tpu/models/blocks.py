@@ -31,7 +31,11 @@ BN_MOMENTUM = 0.1  # torch default: new = (1 - m) * old + m * batch
 
 
 def leaky_relu(x):
-    return jax.nn.leaky_relu(x, negative_slope=0.1)
+    # algebraic form of leaky_relu(x, 0.1): 0.55x + 0.45|x|. Identical values,
+    # but mul/add/abs fuse into the conv epilogue where XLA:TPU leaves the
+    # compare+select formulation as a separate full-activation HBM pass
+    # (profiled at ~13ms/iter of the 416px B=128 forward).
+    return 0.55 * x + 0.45 * jnp.abs(x)
 
 
 def mish(x):
