@@ -120,7 +120,11 @@ def test_param_count_matches_reference():
 
 
 def test_csp_backbone_shapes():
-    model = yolov3.YOLOv3(ModelConfig(num_classes=2, backbone="cspdarknet53"))
+    from helpers import MINI_CSP_LAYERS
+
+    model = yolov3.YOLOv3(
+        ModelConfig(num_classes=2, layer_config=MINI_CSP_LAYERS)
+    )
     params, stats = model.init(jax.random.PRNGKey(0))
     x = jnp.zeros((1, 128, 128, 3))
     preds, _ = model.apply(params, stats, x, compute_dtype=jnp.float32)
@@ -132,7 +136,9 @@ def test_csp_backbone_shapes():
 
 
 def test_train_mode_updates_batch_stats():
-    model = yolov3.YOLOv3(ModelConfig(num_classes=2))
+    from helpers import mini_model
+
+    model = mini_model(num_classes=2)
     params, stats = model.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
     _, new_stats = model.apply(params, stats, x, train=True, compute_dtype=jnp.float32)

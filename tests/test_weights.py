@@ -23,9 +23,14 @@ from yolo_for_turbines_tpu.models.darknet_weights import (
 )
 
 
+from helpers import mini_model
+
+
 @pytest.fixture(scope="module")
 def small_model():
-    model = yolov3.YOLOv3(ModelConfig(num_classes=2))
+    # mini 1/8-width model: the importer walks plan structure, so cutoff/
+    # round-trip/freeze semantics are fully exercised without 62M params
+    model = mini_model(num_classes=2)
     params, stats = model.init(jax.random.PRNGKey(0))
     return model, params, stats
 
@@ -75,13 +80,14 @@ def test_independent_sequential_parse(tmp_path, small_model):
     export_darknet_weights(model.plan, params, stats, str(path))
 
     raw = np.fromfile(path, dtype=np.float32)[5:]  # skip int32 header
-    # Stem conv: 32 filters, 3 in, 3x3, with BN
+    # Stem conv: nf filters, 3 in, 3x3, with BN
+    nf = 4
     off = 0
-    beta, off = raw[off : off + 32], off + 32
-    gamma, off = raw[off : off + 32], off + 32
-    mean, off = raw[off : off + 32], off + 32
-    var, off = raw[off : off + 32], off + 32
-    w = raw[off : off + 32 * 3 * 9].reshape(32, 3, 3, 3)
+    beta, off = raw[off : off + nf], off + nf
+    gamma, off = raw[off : off + nf], off + nf
+    mean, off = raw[off : off + nf], off + nf
+    var, off = raw[off : off + nf], off + nf
+    w = raw[off : off + nf * 3 * 9].reshape(nf, 3, 3, 3)
 
     stem_p, stem_s = params[0]["conv"], stats[0]["conv"]
     np.testing.assert_array_equal(beta, np.asarray(stem_p["bias"]))
