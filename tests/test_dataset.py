@@ -230,3 +230,34 @@ def test_check_boxes(data_dir):
     bad = np.array([[0, 1.5, 0.5, 0.2, 0.3]])
     np.savetxt(data_dir / "labels" / "bad.txt", bad, fmt="%.6f")
     assert not check_boxes(data_dir / "labels", "bad.txt")
+
+
+def test_dataset_rng_thread_safety(data_dir):
+    """Concurrent __getitem__ from many threads must not corrupt the shared
+    generator (numpy Generators are not thread-safe; the dataset hands each
+    item a spawned child under a lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    create_csv_files(
+        data_dir / "images", data_dir / "labels", data_dir, {"train": 1.0}
+    )
+    ds = YOLODataset(
+        csv_split_file=data_dir / "train.csv",
+        img_folder=data_dir / "images",
+        annotation_folder=data_dir / "labels",
+        anchors=cfg.ANCHORS,
+        image_size=96,
+        grid_sizes=[3, 6, 12],
+        num_classes=2,
+        transform=set_train_transforms(96, mosaic=False),
+        multi_scale=True,
+        seed=1,
+    )
+    idxs = list(range(len(ds))) * 8
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(ds.__getitem__, idxs))
+    for img, targets in results:
+        assert img.shape == (96, 96, 3)
+        assert np.all(np.isfinite(img))
+        for t in targets:
+            assert np.all(np.isfinite(t))

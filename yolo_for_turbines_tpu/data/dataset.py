@@ -23,6 +23,7 @@ Images are returned HWC float32 (TPU NHWC layout; the reference returns CHW).
 from __future__ import annotations
 
 import csv
+import threading
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
@@ -131,6 +132,14 @@ class YOLODataset:
         self.multi_scale = multi_scale
         self.ignore_iou_threshold = 0.5
         self.rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe; loader worker threads draw
+        # per-item child generators under this lock (same guarantee as torch
+        # DataLoader workers: seeded, but interleaving-dependent)
+        self._rng_lock = threading.Lock()
+
+    def _item_rng(self) -> np.random.Generator:
+        with self._rng_lock:
+            return self.rng.spawn(1)[0]
 
     @staticmethod
     def _read_csv(path) -> List[Tuple[str, Optional[str]]]:
@@ -165,13 +174,14 @@ class YOLODataset:
         self.grid_sizes = [self.image_size // s for s in self.strides]
         self.transform = set_train_transforms(self.image_size, mosaic=self.mosaic)
 
-    def apply_augmentations(self, img, boxes, idx):
+    def apply_augmentations(self, img, boxes, idx, rng=None):
+        rng = rng if rng is not None else self._item_rng()
         if self.mosaic:
             imgs, labels = [img], [boxes]
             for _ in range(3):
-                rand_idx = int(self.rng.integers(len(self.annotations)))
+                rand_idx = int(rng.integers(len(self.annotations)))
                 while rand_idx == idx:
-                    rand_idx = int(self.rng.integers(len(self.annotations)))
+                    rand_idx = int(rng.integers(len(self.annotations)))
                 imgs.append(self.load_image(rand_idx))
                 lbl = self.annotations[rand_idx][1]
                 lbl_path = self.annotation_folder / lbl if lbl else None
@@ -181,35 +191,36 @@ class YOLODataset:
                     else []
                 )
             mosaic_img, mosaic_boxes = mosaic_augmentation(
-                imgs, labels, self.image_size, rng=self.rng
+                imgs, labels, self.image_size, rng=rng
             )
             if isinstance(mosaic_img, int):  # (-1, -1) sentinel: fallback
                 t = set_train_transforms(self.image_size, mosaic=False)
-                aug = t(image=img, bboxes=boxes, rng=self.rng)
+                aug = t(image=img, bboxes=boxes, rng=rng)
             else:
                 aug = self.transform(
-                    image=mosaic_img, bboxes=mosaic_boxes, rng=self.rng
+                    image=mosaic_img, bboxes=mosaic_boxes, rng=rng
                 )
         elif self.multi_scale:
             t = set_train_transforms(self.image_size, mosaic=False)
-            aug = t(image=img, bboxes=boxes, rng=self.rng)
+            aug = t(image=img, bboxes=boxes, rng=rng)
         else:
-            aug = self.transform(image=img, bboxes=boxes, rng=self.rng)
+            aug = self.transform(image=img, bboxes=boxes, rng=rng)
         return aug["image"], aug["bboxes"]
 
     def __getitem__(self, idx: int):
         img = self.load_image(idx)
         lbl = self.annotations[idx][1]
         label_path = self.annotation_folder / lbl if lbl else None
+        rng = self._item_rng()
         if label_path is not None and label_path.exists():
             boxes = self.load_boxes(label_path)
-            img, boxes = self.apply_augmentations(img, boxes, idx)
+            img, boxes = self.apply_augmentations(img, boxes, idx, rng=rng)
             targets = assign_targets(
                 boxes, self.anchors, self.grid_sizes, self.ignore_iou_threshold
             )
         else:
             t = set_only_image_transforms(image_size=self.image_size)
-            img = t(image=img, rng=self.rng)["image"]
+            img = t(image=img, rng=rng)["image"]
             targets = [
                 np.zeros((self.num_anchors_per_scale, s, s, 6), np.float32)
                 for s in self.grid_sizes
