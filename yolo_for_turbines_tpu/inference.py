@@ -179,6 +179,7 @@ def load_predictor(
     (strides follow the backbone automatically)."""
     from .models.darknet_weights import load_darknet_weights
 
+    use_pallas_nms = jax.devices()[0].platform not in ("cpu",)
     strides = (32, 16) if backbone == "yolov3_tiny" else (32, 16, 8)
     model = YOLOv3(
         cfg.ModelConfig(
@@ -198,4 +199,5 @@ def load_predictor(
         image_size=image_size,
         conf_threshold=conf_threshold,
         nms_iou_threshold=nms_iou_threshold,
+        use_pallas_nms=use_pallas_nms,
     )

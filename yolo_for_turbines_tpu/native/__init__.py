@@ -20,7 +20,7 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "packer.cpp"
-_LIB = _HERE / "_packer.so"
+_LIB = _HERE / "libpacker.so"  # "lib" prefix: not importable as a Python module
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

@@ -159,6 +159,11 @@ class Trainer:
             batch_sharding(self.mesh) if self.mesh.devices.size > 1 else None
         )
         batches = prefetch_to_device(train_loader, size=2, sharding=sharding)
+        # accumulate metrics ON DEVICE: a per-step float()/int() would force
+        # a scalar device->host sync every step (~30% overhead at ~100ms
+        # steps); only the epoch-end conversion synchronizes
+        dev_tots = None
+        start_step = int(self.state.step)
         for batch_idx, (x, y) in enumerate(batches):
             if (
                 self.cfg.multi_scale
@@ -169,12 +174,21 @@ class Trainer:
                 self.anchors, x.shape[1], self.model.strides
             )
             self.state, metrics = self.train_step(self.state, x, y, anchors)
-            logger.log({"lr": self.schedule(int(self.state.step) - 1)})
-            for k, v in metrics.items():
-                tots[k] = tots.get(k, 0.0) + float(v)
+            dev_tots = (
+                metrics
+                if dev_tots is None
+                else jax.tree_util.tree_map(jnp.add, dev_tots, metrics)
+            )
             n += 1
-            if int(self.state.step) >= self.cfg.max_num_steps:
+            if start_step + n >= self.cfg.max_num_steps:
                 break
+        # per-step lr series logged in one pass (reference logs per step,
+        # code/train.py:73; evaluating the optax schedule per step would add
+        # a device sync each iteration)
+        for i in range(n):
+            logger.log({"lr": float(self.schedule(start_step + i))})
+        if dev_tots is not None:
+            tots = {k: float(v) for k, v in dev_tots.items()}
         if not np.isfinite(tots.get("loss", 0.0)):
             raise ValueError("Nan loss")
         avg = {f"train_{k}": v / max(n, 1) for k, v in tots.items()}
