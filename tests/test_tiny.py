@@ -90,3 +90,54 @@ def test_tiny_maxpool_stride1_keeps_size():
     y2 = maxpool2d(x, 2, 2)
     assert y2.shape == (1, 2, 2, 1)
     assert float(y2[0, 0, 0, 0]) == 5.0
+
+
+def test_tiny_training_end_to_end(tmp_path, rng):
+    """Train the 2-scale tiny family for a couple of steps through the full
+    Trainer path (TINY_ANCHORS, 2-scale targets/loss/eval)."""
+    from PIL import Image
+
+    from yolo_for_turbines_tpu.config import TrainConfig
+    from yolo_for_turbines_tpu.data.splits import create_csv_files
+    from yolo_for_turbines_tpu.train.trainer import train
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    for i in range(8):
+        img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"im{i}.png")
+        np.savetxt(
+            tmp_path / "labels" / f"im{i}.txt",
+            np.array([[i % 2, 0.5, 0.5, 0.4, 0.4]]),
+            fmt="%.6f",
+        )
+    create_csv_files(
+        tmp_path / "images", tmp_path / "labels", tmp_path,
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+
+    orig_init = trainer_mod.Trainer.__init__
+
+    def patched(self, train_cfg, model_cfg=None, **kw):
+        model_cfg = ModelConfig(
+            num_classes=2, activation=train_cfg.activation,
+            backbone="yolov3_tiny", strides=(32, 16),
+        )
+        orig_init(self, train_cfg, model_cfg=model_cfg, **kw)
+
+    trainer_mod.Trainer.__init__ = patched
+    try:
+        tc = TrainConfig(
+            lr=1e-3, batch_size=4, max_num_steps=2, warmup_enabled=False,
+            multi_scale=False, image_size=64, compute_dtype="float32",
+        )
+        train(
+            tc, tmp_path, tmp_path, identifier="tiny", early_stop=2,
+            image_folder=tmp_path / "images",
+            annotation_folder=tmp_path / "labels",
+            anchors=cfg.TINY_ANCHORS, num_workers=2,
+        )
+    finally:
+        trainer_mod.Trainer.__init__ = orig_init
+    assert (tmp_path / "best_model_tiny.ckpt").exists()

@@ -160,13 +160,15 @@ def get_loaders(
     num_workers: int = 8,
     mosaic: bool = False,
     image_size: int = cfg.DEF_IMAGE_SIZE,
+    strides=cfg.STRIDES,
 ):
     """Build train/val/test loaders from split CSVs
-    (parity with reference code/utils.py:704-784)."""
+    (parity with reference code/utils.py:704-784). `strides` selects the
+    detection-scale layout (e.g. (32, 16) for yolov3-tiny)."""
     csv_folder = Path(csv_folder_path)
     image_folder = image_folder or csv_folder / "images"
     annotation_folder = annotation_folder or csv_folder / "labels"
-    grid_sizes = cfg.grid_sizes_for(image_size)
+    grid_sizes = cfg.grid_sizes_for(image_size, strides)
 
     def make(split, transform, is_train):
         return YOLODataset(

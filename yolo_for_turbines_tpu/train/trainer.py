@@ -362,6 +362,7 @@ def train(
         num_workers=num_workers,
         mosaic=tc.mosaic,
         image_size=tc.image_size,
+        strides=trainer.model.strides,
     )
 
     best_map = 0.0
