@@ -18,7 +18,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .augment import pad_center, resize_longest
+from .augment import resize_longest
 
 
 def mosaic_augmentation(

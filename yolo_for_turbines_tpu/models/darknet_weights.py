@@ -260,6 +260,14 @@ def export_darknet_weights(plan: Plan, params, batch_stats, path: str):
             chunks.append(np.asarray(p["conv2"]["b"], np.float32).tobytes())
             w = np.asarray(p["conv2"]["w"], np.float32).transpose(3, 2, 0, 1)
             chunks.append(w.tobytes())
+        elif isinstance(entry, (PlanUpsample, PlanMaxPool, PlanRoute)):
+            pass  # parameterless
+        else:
+            # CSP stages have no darknet serialization -- refuse rather than
+            # silently writing a partial file
+            raise ValueError(
+                f"cannot export plan entry {type(entry).__name__} to darknet format"
+            )
     with open(path, "wb") as f:
         for c in chunks:
             f.write(c)

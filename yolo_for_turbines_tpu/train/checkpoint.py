@@ -10,12 +10,10 @@ exactly the reference's lr override.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional
 
 import jax
-import numpy as np
 
 from .steps import TrainState
 

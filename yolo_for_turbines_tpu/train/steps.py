@@ -21,7 +21,6 @@ One compiled executable exists per image-size bucket (multi-scale training's
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
