@@ -225,3 +225,20 @@ def test_device_map_matches_host(rng):
                             num_classes=n_cls)
         )
         assert got == pytest.approx(want, abs=1e-5), (trial, got, want)
+
+
+def test_map_range():
+    from yolo_for_turbines_tpu.ops.map import calc_map_range
+
+    preds = [[0, 0.5, 0.5, 0.2, 0.2, 0.9, 0]]
+    truths = [[0, 0.5, 0.5, 0.2, 0.2, 1.0, 0]]
+    out = calc_map_range(preds, truths, num_classes=1)
+    assert out["mAP@0.5"] == pytest.approx(1.0)
+    assert out["mAP@0.95"] == pytest.approx(1.0)  # exact-match box
+    assert out["mAP@[.5:.95]"] == pytest.approx(1.0)
+    # offset box: IoU ~0.59 -> passes 0.5/0.55, fails higher
+    preds2 = [[0, 0.53, 0.5, 0.2, 0.2, 0.9, 0]]
+    out2 = calc_map_range(preds2, truths, num_classes=1)
+    assert out2["mAP@0.5"] == pytest.approx(1.0)
+    assert out2["mAP@0.95"] == pytest.approx(0.0)
+    assert 0 < out2["mAP@[.5:.95]"] < 1

@@ -122,6 +122,29 @@ def calc_map(
     return float(sum(average_precisions) / len(average_precisions))
 
 
+def calc_map_range(
+    pred_boxes,
+    true_boxes,
+    iou_thresholds=None,
+    box_format: str = "center",
+    num_classes: int = 20,
+) -> dict:
+    """COCO-style mAP over a threshold range (beyond-reference extension;
+    the reference evaluates a single threshold, code/utils.py:193).
+
+    Returns {"mAP@0.5": ..., "mAP@0.75": ..., "mAP@[.5:.95]": mean}.
+    """
+    if iou_thresholds is None:
+        iou_thresholds = [0.5 + 0.05 * i for i in range(10)]
+    aps = {
+        t: calc_map(pred_boxes, true_boxes, t, box_format, num_classes)
+        for t in iou_thresholds
+    }
+    out = {f"mAP@{t:g}": v for t, v in aps.items()}
+    out["mAP@[.5:.95]"] = float(np.mean(list(aps.values())))
+    return out
+
+
 def calc_map_device(
     pred_boxes,
     pred_valid,

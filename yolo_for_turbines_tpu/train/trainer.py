@@ -215,13 +215,24 @@ class Trainer:
             class_acc, noobj_acc, obj_acc = check_model_accuracy(
                 val_loader, self.model, self.state, cfg.CONF_THRESHOLD
             )
-            mAP = evaluate_map(
-                val_loader,
-                self.model,
-                self.state,
-                self.anchors,
-                num_classes=self.model_cfg.num_classes,
-            )
+            if self.cfg.device_eval:
+                from .evaluate import evaluate_map_device
+
+                mAP = evaluate_map_device(
+                    val_loader,
+                    self.model,
+                    self.state,
+                    self.anchors,
+                    num_classes=self.model_cfg.num_classes,
+                )
+            else:
+                mAP = evaluate_map(
+                    val_loader,
+                    self.model,
+                    self.state,
+                    self.anchors,
+                    num_classes=self.model_cfg.num_classes,
+                )
             logger.log(
                 {
                     "class_accuracy": class_acc,
