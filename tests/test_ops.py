@@ -227,6 +227,64 @@ def test_device_map_matches_host(rng):
         assert got == pytest.approx(want, abs=1e-5), (trial, got, want)
 
 
+def _random_bucketed_eval(rng, n_img, n_cls, K, G, max_det, max_gt):
+    """Random per-image padded eval slots + the equivalent flat host rows."""
+    preds = np.zeros((n_img, K, 6), np.float32)
+    gts = np.zeros((n_img, G, 6), np.float32)
+    pv = np.zeros((n_img, K), bool)
+    gv = np.zeros((n_img, G), bool)
+    pred_rows, gt_rows = [], []
+    for img in range(n_img):
+        nd = int(rng.integers(1, max_det + 1))
+        ng = int(rng.integers(1, max_gt + 1))
+        for i in range(nd):
+            row = [*rng.uniform(0.2, 0.8, 2), *rng.uniform(0.1, 0.3, 2),
+                   float(rng.uniform(0.3, 1.0)), int(rng.integers(n_cls))]
+            preds[img, i] = row
+            pv[img, i] = True
+            pred_rows.append([img] + row)
+        for i in range(ng):
+            row = [*rng.uniform(0.2, 0.8, 2), *rng.uniform(0.1, 0.3, 2),
+                   1.0, int(rng.integers(n_cls))]
+            gts[img, i] = row
+            gv[img, i] = True
+            gt_rows.append([img] + row)
+    return preds, pv, gts, gv, pred_rows, gt_rows
+
+
+def test_batched_device_map_matches_host(rng):
+    """calc_map_device_batched (image-bucketed, scalable) == calc_map."""
+    from yolo_for_turbines_tpu.ops.map import calc_map_device_batched
+
+    for trial in range(3):
+        preds, pv, gts, gv, pred_rows, gt_rows = _random_bucketed_eval(
+            rng, n_img=5, n_cls=3, K=16, G=8, max_det=10, max_gt=5
+        )
+        want = calc_map(pred_rows, gt_rows, 0.5, "center", 3)
+        got = float(
+            calc_map_device_batched(preds, pv, gts, gv, iou_threshold=0.5,
+                                    num_classes=3)
+        )
+        assert got == pytest.approx(want, abs=1e-5), (trial, got, want)
+
+
+def test_batched_device_map_scales_to_1000_images(rng):
+    """The production device-mAP path must handle a real val-set size: 1,000
+    images with padded K=64/G=32 slots (the flat formulation's IoU matrix
+    would be (64k, 32k) = 8 GB f32; the bucketed one is 8 MB)."""
+    from yolo_for_turbines_tpu.ops.map import calc_map_device_batched
+
+    preds, pv, gts, gv, pred_rows, gt_rows = _random_bucketed_eval(
+        rng, n_img=1000, n_cls=2, K=64, G=32, max_det=8, max_gt=4
+    )
+    want = calc_map(pred_rows, gt_rows, 0.5, "center", 2)
+    got = float(
+        calc_map_device_batched(preds, pv, gts, gv, iou_threshold=0.5,
+                                num_classes=2)
+    )
+    assert got == pytest.approx(want, abs=1e-4)
+
+
 def test_map_range():
     from yolo_for_turbines_tpu.ops.map import calc_map_range
 

@@ -204,9 +204,10 @@ class TrainConfig:
     ignore_iou_threshold: float = 0.5  # reference: code/dataset.py:51
     seed: int = 424242  # reference: code/utils.py:850
     compute_dtype: str = "bfloat16"  # TPU-native mixed precision (no GradScaler)
-    # mAP eval entirely on device (ops.map.calc_map_device); the default host
-    # path matches the reference bit-for-bit and is easier to debug
-    device_eval: bool = False
+    # mAP eval entirely on device (ops.map.calc_map_device_batched, bucketed
+    # by image so memory is O(images*K*G)); host path (False) runs the same
+    # semantics in numpy and is easier to debug
+    device_eval: bool = True
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -145,6 +145,115 @@ def calc_map_range(
     return out
 
 
+def calc_map_device_batched(
+    preds,
+    pred_valid,
+    gts,
+    gt_valid,
+    iou_threshold: float = 0.5,
+    num_classes: int = 20,
+):
+    """Scalable fully on-device mAP over per-image padded slots.
+
+    Same semantics as `calc_map` / `calc_map_device`, but the inputs are
+    image-bucketed, which caps memory at O(I*K*G) for ONE shared IoU tensor
+    instead of the flat formulation's O((I*K)*(I*G)) matrix — a 1,000-image
+    val set at K=256/G=128 is ~131 MB here vs ~33 TB flat. This is the
+    production eval path (`train/evaluate.py::evaluate_map_device`).
+
+    Why bucketing preserves the reference's greedy semantics
+    (code/utils.py:193-274): a detection only ever competes for ground
+    truths of its own image, and whether it wins depends only on
+    higher-scored detections of that same image — so the global
+    score-ordered greedy decomposes into independent per-image greedies
+    (a lax.scan over the K score-sorted slots, vmapped over images and
+    classes). Only the TP/FP *cumsum* needs the global score order, and
+    that order is class-independent: one stable argsort over all I*K
+    scores serves every class. Tie order matches the reference exactly:
+    both are image-major stable for equal scores.
+
+    Args:
+        preds: (I, K, 6) [cx, cy, w, h, score, class] per-image NMS
+            survivors, padded.
+        pred_valid: (I, K) bool.
+        gts: (I, G, 6) same layout (score column unused), padded.
+        gt_valid: (I, G) bool.
+
+    Returns:
+        scalar jnp mAP.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .iou import calc_iou
+
+    preds = jnp.asarray(preds, jnp.float32)
+    gts = jnp.asarray(gts, jnp.float32)
+    pred_valid = jnp.asarray(pred_valid)
+    gt_valid = jnp.asarray(gt_valid)
+    n_img, k, _ = preds.shape
+    g = gts.shape[1]
+
+    # Per-image stable score-desc sort (shared across classes). Within an
+    # image this is the reference's processing order; invalid slots sink.
+    scores = jnp.where(pred_valid, preds[:, :, 4], -jnp.inf)
+    order = jnp.argsort(-scores, axis=1, stable=True)
+    preds_s = jnp.take_along_axis(preds, order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(pred_valid, order, axis=1)
+    scores_s = jnp.take_along_axis(scores, order, axis=1)
+
+    # One (I, K, G) IoU tensor shared by every class.
+    iou = calc_iou(preds_s[:, :, None, 0:4], gts[:, None, :, 0:4], "center")
+    iou_t = jnp.transpose(iou, (1, 0, 2))  # (K, I, G) for the scan
+
+    cls_det = preds_s[:, :, 5]
+    cls_gt = gts[:, :, 5]
+    img_idx = jnp.arange(n_img)
+
+    # Global stable score order (class-independent), for the TP/FP cumsum.
+    flat_order = jnp.argsort(-scores_s.reshape(-1), stable=True)
+
+    def ap_for_class(c):
+        det_ok = valid_s & (cls_det == c)  # (I, K)
+        gt_ok = gt_valid & (cls_gt == c)  # (I, G)
+        total_true = jnp.sum(gt_ok)
+
+        def step(matched, xs):
+            # one score-rank step across ALL images at once
+            iou_k, ok_k = xs  # (I, G), (I,)
+            ious_i = jnp.where(gt_ok, iou_k, 0.0)
+            best = jnp.argmax(ious_i, axis=1)  # (I,)
+            best_iou = jnp.take_along_axis(ious_i, best[:, None], 1)[:, 0]
+            already = matched[img_idx, best]
+            is_tp = ok_k & (best_iou > iou_threshold) & ~already
+            matched = matched.at[img_idx, best].set(already | is_tp)
+            return matched, is_tp
+
+        matched0 = jnp.zeros((n_img, g), bool)
+        _, tps = jax.lax.scan(step, matched0, (iou_t, det_ok.T))  # (K, I)
+        tp = tps.T.astype(jnp.float32)  # (I, K)
+        fp = jnp.where(det_ok, 1.0 - tp, 0.0)
+
+        tp_sorted = tp.reshape(-1)[flat_order]
+        fp_sorted = fp.reshape(-1)[flat_order]
+        cum_tp = jnp.cumsum(tp_sorted)
+        cum_fp = jnp.cumsum(fp_sorted)
+        precisions = cum_tp / jnp.maximum(cum_tp + cum_fp, 1e-16)
+        recalls = cum_tp / jnp.maximum(total_true, 1e-16)
+        precisions = jnp.concatenate([jnp.ones(1), precisions])
+        recalls = jnp.concatenate([jnp.zeros(1), recalls])
+        ap = jnp.sum(
+            (recalls[1:] - recalls[:-1]) * (precisions[1:] + precisions[:-1]) / 2
+        )
+        return ap, total_true > 0
+
+    aps, has_gt = jax.vmap(ap_for_class)(jnp.arange(num_classes, dtype=jnp.float32))
+    n = jnp.sum(has_gt)
+    return jnp.where(
+        n > 0, jnp.sum(jnp.where(has_gt, aps, 0.0)) / jnp.maximum(n, 1), 0.0
+    )
+
+
 def calc_map_device(
     pred_boxes,
     pred_valid,
@@ -153,10 +262,13 @@ def calc_map_device(
     iou_threshold: float = 0.5,
     num_classes: int = 20,
 ):
-    """Fully on-device mAP over fixed-size padded rows (jit-compatible).
+    """Fully on-device mAP over flat fixed-size padded rows (jit-compatible).
 
-    The BASELINE north star asks that mAP eval never round-trip to host;
-    this is the device-side twin of `calc_map` with identical semantics:
+    NOTE: this flat variant materializes the full (N_det, N_gt) IoU matrix —
+    fine for tests and small sets, quadratic in val-set size. Production eval
+    uses `calc_map_device_batched` (image-bucketed, memory O(I*K*G)).
+
+    Device-side twin of `calc_map` with identical semantics:
     per class, detections sorted by descending score greedily match their
     image's best-IoU unmatched GT (strict > threshold), cumulative TP/FP ->
     trapezoidal AP with a prepended (0, 1) point, mean over classes with GT.

@@ -23,15 +23,26 @@ import numpy as np
 
 from .. import config as cfg
 from ..ops.decode import decode_all_scales, decode_scale
-from ..ops.map import calc_map
+from ..ops.map import calc_map, calc_map_device_batched
 from ..ops.nms import batched_nms
 
+# One process-wide executable per (I, K, G, threshold, classes) shape combo.
+_jitted_map_batched = jax.jit(
+    calc_map_device_batched, static_argnames=("iou_threshold", "num_classes")
+)
 
+
+@functools.lru_cache(maxsize=16)
 def make_eval_boxes_step(
     model, compute_dtype=jnp.bfloat16, max_boxes: int = 256, max_gt: int = 128
 ):
     """Returns jitted fn(params, batch_stats, images, targets2, anchors,
     conf, nms_iou) -> (kept (B,K,6), mask (B,K), true (B, max_gt, 6)).
+
+    Cached on (model, dtype, K, G): the model handle is a hashable frozen
+    dataclass, so repeated eval epochs reuse ONE jit (and its compiled
+    executables) instead of paying a fresh trace+compile per call — on the
+    TPU a full-model compile is ~90s (benchmarks/RESULTS.md).
 
     Ground truth is top-k'd by objectness ON DEVICE (real GT cells carry
     score 1.0, empty cells 0.0), so the host transfer is K+max_gt rows per
@@ -101,12 +112,10 @@ def get_eval_boxes(
     return all_preds, all_true
 
 
-def check_model_accuracy(
-    loader, model, state, object_threshold: float = cfg.CONF_THRESHOLD,
-    compute_dtype=jnp.bfloat16,
-):
-    """Masked class / no-obj / obj accuracies
-    (parity with reference code/utils.py:334-381)."""
+@functools.lru_cache(maxsize=16)
+def _make_accuracy_counts(model, object_threshold: float, compute_dtype):
+    """Build-once jitted per-batch accuracy counters (cached like
+    make_eval_boxes_step — a new closure per eval call would recompile)."""
 
     @jax.jit
     def batch_counts(params, batch_stats, images, targets):
@@ -132,6 +141,17 @@ def check_model_accuracy(
                 ]
             ).astype(jnp.float32)
         return counts
+
+    return batch_counts
+
+
+def check_model_accuracy(
+    loader, model, state, object_threshold: float = cfg.CONF_THRESHOLD,
+    compute_dtype=jnp.bfloat16,
+):
+    """Masked class / no-obj / obj accuracies
+    (parity with reference code/utils.py:334-381)."""
+    batch_counts = _make_accuracy_counts(model, object_threshold, compute_dtype)
 
     totals = np.zeros(6)
     for images, targets in loader:
@@ -178,14 +198,16 @@ def evaluate_map_device(
     compute_dtype=jnp.bfloat16,
 ) -> float:
     """mAP eval that never round-trips boxes to the host (BASELINE north
-    star): per-batch forward/decode/NMS results stay on device; rows are
-    concatenated there and `ops.map.calc_map_device` reduces them to one
-    scalar. Only that scalar crosses the wire."""
-    from ..ops.map import calc_map_device
+    star): per-batch forward/decode/NMS results stay on device, bucketed by
+    image, and `ops.map.calc_map_device_batched` reduces them to one scalar.
+    Only that scalar crosses the wire.
 
+    Memory is O(images * K * G): ~131 MB of IoU for a 1,000-image val set at
+    K=256/G=128 — the image-bucketed layout is what makes device eval viable
+    at real val-set sizes (the flat calc_map_device would need an
+    (I*K, I*G) matrix)."""
     step = make_eval_boxes_step(model, compute_dtype, max_boxes, max_gt)
     pred_rows, pred_ok, true_rows, true_ok = [], [], [], []
-    data_idx = 0
     for images, targets in loader:
         kept, mask, true = step(
             state.params,
@@ -195,21 +217,11 @@ def evaluate_map_device(
             np.asarray(anchors, np.float32),
             image_size=images.shape[1],
         )
-        b, k = kept.shape[0], kept.shape[1]
-        ids = (data_idx + jnp.arange(b, dtype=jnp.float32))[:, None]
-        preds7 = jnp.concatenate(
-            [jnp.broadcast_to(ids[..., None], (b, k, 1)), kept], axis=-1
-        ).reshape(b * k, 7)
-        g = true.shape[1]
-        trues7 = jnp.concatenate(
-            [jnp.broadcast_to(ids[..., None], (b, g, 1)), true], axis=-1
-        ).reshape(b * g, 7)
-        pred_rows.append(preds7)
-        pred_ok.append(mask.reshape(-1))
-        true_rows.append(trues7)
-        true_ok.append((true[..., 4] > obj_threshold).reshape(-1))
-        data_idx += b
-    mAP = calc_map_device(
+        pred_rows.append(kept)
+        pred_ok.append(mask)
+        true_rows.append(true)
+        true_ok.append(true[..., 4] > obj_threshold)
+    mAP = _jitted_map_batched(
         jnp.concatenate(pred_rows),
         jnp.concatenate(pred_ok),
         jnp.concatenate(true_rows),

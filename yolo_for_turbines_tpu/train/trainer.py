@@ -290,9 +290,16 @@ def make_hpo_train_fn(
                 mosaic=tc.mosaic,
                 image_size=tc.image_size,
             )
+            import hashlib
+
+            cfg_repr = str(
+                sorted(config.items()) if isinstance(config, dict) else config
+            )
+            # stable across processes (unlike hash(), which is salted by
+            # PYTHONHASHSEED) so trial logs keep one name under HPO resume
+            trial_id = hashlib.sha1(cfg_repr.encode()).hexdigest()[:8]
             logger = MetricsLogger(
-                f"hpo_trial_{abs(hash(str(sorted(config.items() if isinstance(config, dict) else []))))%10**8}",
-                out_dir=model_folder_path,
+                f"hpo_trial_{trial_id}", out_dir=model_folder_path
             )
             epoch = 0
         else:
