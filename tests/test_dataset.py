@@ -202,6 +202,48 @@ def test_dataloader_batching(data_dir):
     assert targets[0].shape == (4, 3, 4, 4, 6)
 
 
+def test_dataloader_early_exit_joins_producer(data_dir):
+    """Abandoning iteration mid-epoch must not deadlock the producer on a
+    full prefetch queue (it blocks in q.put; the stop event has to win)."""
+    import threading
+    import time
+
+    create_csv_files(
+        data_dir / "images", data_dir / "labels", data_dir, {"train": 1.0}
+    )
+    ds = YOLODataset(
+        csv_split_file=data_dir / "train.csv",
+        img_folder=data_dir / "images",
+        annotation_folder=data_dir / "labels",
+        anchors=cfg.ANCHORS,
+        image_size=128,
+        grid_sizes=[4, 8, 16],
+        num_classes=2,
+        transform=test_transforms(128),
+    )
+    # batch_size=1 + tiny queue: the producer outruns the consumer and is
+    # guaranteed to be blocked in put() when we bail
+    loader = DataLoader(ds, batch_size=1, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.3)  # let the producer fill the queue and block
+    it.close()  # runs the generator's finally: stop + join
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(
+            t.name == "DataLoader-producer" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    alive = [
+        t.name for t in threading.enumerate()
+        if t.name == "DataLoader-producer" and t.is_alive()
+    ]
+    assert not alive, "producer thread leaked after early exit"
+
+
 def test_multi_scale_change_scale(data_dir):
     create_csv_files(
         data_dir / "images", data_dir / "labels", data_dir, {"train": 1.0}

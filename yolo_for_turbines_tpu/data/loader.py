@@ -95,16 +95,29 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever on a full queue: a consumer that abandons
+            # iteration mid-epoch sets `stop` from the generator's finally,
+            # and the producer must notice even while the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for batch in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, batch))
-                    q.put(collate(samples))
-            q.put(None)
+                    if not put_or_stop(collate(samples)):
+                        return
+            put_or_stop(None)
 
-        t = threading.Thread(target=produce, daemon=True)
+        t = threading.Thread(target=produce, daemon=True, name="DataLoader-producer")
         t.start()
         try:
             while True:
@@ -114,6 +127,7 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            t.join(timeout=5.0)
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -246,26 +246,38 @@ class Trainer:
         return avg.get("val_loss", 0.0), mAP
 
 
-def make_hpo_train_fn(
-    csv_folder_path,
-    model_folder_path,
-    image_folder=None,
-    annotation_folder=None,
-    anchors=cfg.TURBINE_ANCHORS,
-    weights_path=None,
-    num_workers: int = 8,
-    eval_every: int = 1,
-):
-    """Adapter for the ASHA driver (train.hpo.tune_model).
+class HPOTrainFn:
+    """Picklable adapter for the ASHA driver (train.hpo.tune_model).
 
-    Returns train_fn(config, num_epochs, resume_state) -> (mAP, resume_state):
-    trains `num_epochs` *additional* epochs, evaluating mAP at the end of the
-    budget, carrying (Trainer, loaders) across rungs so promoted trials
-    resume instead of restarting (matching Ray Tune's in-process
-    session.report flow, reference code/train.py:153,252-270).
+    Calling trains `num_epochs` *additional* epochs, evaluating mAP at the
+    end of the budget, carrying (Trainer, loaders) across rungs so promoted
+    trials resume instead of restarting (matching Ray Tune's in-process
+    session.report flow, reference code/train.py:153,252-270). Picklability
+    is what lets `tune_model(max_concurrent>1)` ship it to spawned trial
+    workers — the resume state then lives inside each worker process.
     """
 
-    def train_fn(config, num_epochs, resume_state):
+    def __init__(
+        self,
+        csv_folder_path,
+        model_folder_path,
+        image_folder=None,
+        annotation_folder=None,
+        anchors=cfg.TURBINE_ANCHORS,
+        weights_path=None,
+        num_workers: int = 8,
+        eval_every: int = 1,
+    ):
+        self.csv_folder_path = csv_folder_path
+        self.model_folder_path = model_folder_path
+        self.image_folder = image_folder
+        self.annotation_folder = annotation_folder
+        self.anchors = np.asarray(anchors, np.float32)
+        self.weights_path = weights_path
+        self.num_workers = num_workers
+        self.eval_every = eval_every
+
+    def __call__(self, config, num_epochs, resume_state):
         tc = (
             config
             if isinstance(config, TrainConfig)
@@ -278,15 +290,17 @@ def make_hpo_train_fn(
             )
         )
         if resume_state is None:
-            trainer = Trainer(tc, anchors=anchors, weights_path=weights_path)
+            trainer = Trainer(
+                tc, anchors=self.anchors, weights_path=self.weights_path
+            )
             loaders = get_loaders(
-                csv_folder_path,
+                self.csv_folder_path,
                 batch_size=tc.batch_size,
-                anchors=anchors,
+                anchors=self.anchors,
                 train=True,
-                image_folder=image_folder,
-                annotation_folder=annotation_folder,
-                num_workers=num_workers,
+                image_folder=self.image_folder,
+                annotation_folder=self.annotation_folder,
+                num_workers=self.num_workers,
                 mosaic=tc.mosaic,
                 image_size=tc.image_size,
             )
@@ -299,7 +313,7 @@ def make_hpo_train_fn(
             # PYTHONHASHSEED) so trial logs keep one name under HPO resume
             trial_id = hashlib.sha1(cfg_repr.encode()).hexdigest()[:8]
             logger = MetricsLogger(
-                f"hpo_trial_{trial_id}", out_dir=model_folder_path
+                f"hpo_trial_{trial_id}", out_dir=self.model_folder_path
             )
             epoch = 0
         else:
@@ -319,7 +333,28 @@ def make_hpo_train_fn(
         logger.log({"mAP": mAP, "epoch": epoch})
         return mAP, (trainer, loaders, logger, epoch)
 
-    return train_fn
+
+def make_hpo_train_fn(
+    csv_folder_path,
+    model_folder_path,
+    image_folder=None,
+    annotation_folder=None,
+    anchors=cfg.TURBINE_ANCHORS,
+    weights_path=None,
+    num_workers: int = 8,
+    eval_every: int = 1,
+):
+    """Build the picklable HPOTrainFn adapter (see HPOTrainFn)."""
+    return HPOTrainFn(
+        csv_folder_path,
+        model_folder_path,
+        image_folder=image_folder,
+        annotation_folder=annotation_folder,
+        anchors=anchors,
+        weights_path=weights_path,
+        num_workers=num_workers,
+        eval_every=eval_every,
+    )
 
 
 def train(
