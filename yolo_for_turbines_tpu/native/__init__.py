@@ -65,6 +65,17 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.batch_letterbox_normalize.restype = None
+        lib.batch_train_augment.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.batch_train_augment.restype = None
         _lib = lib
         return _lib
 
@@ -128,5 +139,58 @@ def batch_letterbox(
         size,
         ctypes.c_float(pad_value),
         num_threads,
+    )
+    return out
+
+
+def train_augment(
+    image: np.ndarray,
+    size: int,
+    *,
+    do_affine: bool = False,
+    scale: float = 1.0,
+    dx: float = 0.0,
+    dy: float = 0.0,
+    flip: bool = False,
+    do_hsv: bool = False,
+    dh: float = 0.0,
+    ds: float = 0.0,
+    dv: float = 0.0,
+) -> Optional[np.ndarray]:
+    """Fused train augmentation for ONE HWC uint8 image: letterbox +
+    shift-scale + hflip in a single resample pass, then HSV jitter + /255.
+
+    Returns float32 (size, size, 3), or None when the native library is
+    unavailable (caller falls back to the numpy pipeline). The ctypes call
+    releases the GIL, so the DataLoader's worker threads scale this across
+    cores. Box geometry is the CALLER's job (data/augment.py applies the
+    identical parameters to the labels), keeping labels exactly consistent
+    between the native and fallback paths.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image, dtype=np.uint8)
+    out = np.empty((size, size, 3), np.float32)
+    params = np.asarray(
+        [
+            1.0 if do_affine else 0.0, scale, dx, dy,
+            1.0 if flip else 0.0,
+            1.0 if do_hsv else 0.0, dh, ds, dv,
+        ],
+        np.float32,
+    )
+    ptrs = (ctypes.c_void_p * 1)(img.ctypes.data_as(ctypes.c_void_p).value)
+    shs = (ctypes.c_int * 1)(img.shape[0])
+    sws = (ctypes.c_int * 1)(img.shape[1])
+    lib.batch_train_augment(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        shs,
+        sws,
+        1,
+        params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size,
+        1,
     )
     return out
