@@ -202,6 +202,38 @@ def test_dataloader_batching(data_dir):
     assert targets[0].shape == (4, 3, 4, 4, 6)
 
 
+def test_load_image_jpeg_draft_decode(tmp_path):
+    """Oversized JPEGs decode at reduced scale (PIL draft) without breaking
+    geometry: the dataset still produces a (size, size) image and valid
+    targets — normalized box labels are resolution-independent."""
+    img_dir, lbl_dir = tmp_path / "images", tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    big = rng.uniform(0, 255, (1200, 1600, 3)).astype(np.uint8)
+    Image.fromarray(big).save(img_dir / "big.jpg", quality=90)
+    np.savetxt(lbl_dir / "big.txt", np.array([[0, 0.5, 0.5, 0.25, 0.25]]),
+               fmt="%.6f", delimiter=" ")
+    create_csv_files(img_dir, lbl_dir, tmp_path, {"train": 1.0},
+                     image_ext=".jpg")
+    ds = YOLODataset(
+        csv_split_file=tmp_path / "train.csv",
+        img_folder=img_dir,
+        annotation_folder=lbl_dir,
+        anchors=cfg.ANCHORS,
+        image_size=416,
+        grid_sizes=[13, 26, 52],
+        num_classes=2,
+        transform=test_transforms(416),
+    )
+    raw = ds.load_image(0)
+    assert max(raw.shape[:2]) < 1600  # draft actually reduced the decode
+    assert max(raw.shape[:2]) >= 416  # but not below the train size
+    img, targets = ds[0]
+    assert img.shape == (416, 416, 3)
+    assert targets[2][..., 4].max() == 1.0  # the box landed in a cell
+
+
 def test_dataloader_early_exit_joins_producer(data_dir):
     """Abandoning iteration mid-epoch must not deadlock the producer on a
     full prefetch queue (it blocks in q.put; the stop event has to win)."""

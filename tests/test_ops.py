@@ -285,6 +285,19 @@ def test_batched_device_map_scales_to_1000_images(rng):
     assert got == pytest.approx(want, abs=1e-4)
 
 
+def test_batched_device_map_range_matches_host(rng):
+    """Device COCO-range mAP == host calc_map_range threshold by threshold."""
+    from yolo_for_turbines_tpu.ops.map import calc_map_device_range, calc_map_range
+
+    preds, pv, gts, gv, pred_rows, gt_rows = _random_bucketed_eval(
+        rng, n_img=5, n_cls=3, K=16, G=8, max_det=10, max_gt=5
+    )
+    want = calc_map_range(pred_rows, gt_rows, box_format="center", num_classes=3)
+    got = calc_map_device_range(preds, pv, gts, gv, num_classes=3)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-5), k
+
+
 def test_map_range():
     from yolo_for_turbines_tpu.ops.map import calc_map_range
 

@@ -254,6 +254,36 @@ def calc_map_device_batched(
     )
 
 
+def calc_map_device_range(
+    preds,
+    pred_valid,
+    gts,
+    gt_valid,
+    iou_thresholds=None,
+    num_classes: int = 20,
+):
+    """Device-side COCO-style mAP over a threshold range (the on-device twin
+    of `calc_map_range`). One vmap over thresholds: the comparisons are
+    traced, so the (I, K, G) IoU tensor and the per-image sort are shared
+    across all 10 thresholds.
+
+    Returns a dict {"mAP@0.5": ..., ..., "mAP@[.5:.95]": mean} of floats.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if iou_thresholds is None:
+        iou_thresholds = [0.5 + 0.05 * i for i in range(10)]
+    ts = jnp.asarray(iou_thresholds, jnp.float32)
+    fn = lambda t: calc_map_device_batched(
+        preds, pred_valid, gts, gt_valid, t, num_classes
+    )
+    aps = jax.vmap(fn)(ts)
+    out = {f"mAP@{t:g}": float(v) for t, v in zip(iou_thresholds, aps)}
+    out["mAP@[.5:.95]"] = float(jnp.mean(aps))
+    return out
+
+
 def calc_map_device(
     pred_boxes,
     pred_valid,
