@@ -145,10 +145,17 @@ def apply_conv_block(
 
     if train:
         # statistics in f32 (fused reductions -- no f32 activation tensor is
-        # materialized), running stats with torch momentum semantics
+        # materialized), running stats with torch momentum semantics.
+        # var = E[x^2] - E[x]^2 rather than jnp.var's two-pass
+        # E[(x - mean)^2]: both sums reduce in ONE fused read of the conv
+        # output instead of a second pass that depends on the first
+        # (profiled: the _var reductions cost 4.6 ms fwd + 4.5 ms bwd of the
+        # 97 ms bs=32 train step). f32 accumulation keeps the cancellation
+        # benign at BN-activation scales.
         yf = y.astype(jnp.float32)
         batch_mean = jnp.mean(yf, axis=(0, 1, 2))
-        batch_var = jnp.var(yf, axis=(0, 1, 2))
+        batch_sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+        batch_var = jnp.maximum(batch_sq - jnp.square(batch_mean), 0.0)
         mean, var = batch_mean, batch_var
         n = np.prod([d for i, d in enumerate(y.shape) if i != 3])
         unbiased = batch_var * (n / max(n - 1, 1))
