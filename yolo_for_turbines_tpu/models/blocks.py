@@ -95,13 +95,15 @@ def init_conv(
 # ---------------------------------------------------------------------------
 
 
-def conv2d(x, w, stride: int, padding: int):
-    """NHWC conv with explicit symmetric padding (torch floor semantics).
+def conv2d(x, w, stride: int, padding):
+    """NHWC conv with explicit padding (torch floor semantics).
 
-    Explicit ((p,p),(p,p)) padding rather than 'SAME' so stride-2 layers align
-    exactly with the reference's torch convs (padding=1 both sides, floor
-    output size) -- 'SAME' pads asymmetrically and would shift features,
-    breaking darknet-weight parity.
+    `padding` is an int p for symmetric ((p,p),(p,p)) padding, or an explicit
+    ((top,bottom),(left,right)) pair (the space-to-depth stem's exit conv
+    pads asymmetrically). Explicit padding rather than 'SAME' so stride-2
+    layers align exactly with the reference's torch convs (padding=1 both
+    sides, floor output size) -- 'SAME' pads asymmetrically and would shift
+    features, breaking darknet-weight parity.
     """
     # f32 operands: force full-precision accumulation (XLA's DEFAULT uses
     # reduced-precision passes on some backends). bf16 operands are native
@@ -109,11 +111,13 @@ def conv2d(x, w, stride: int, padding: int):
     precision = (
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     )
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )

@@ -241,6 +241,123 @@ def _head_reshape(y: jnp.ndarray, num_classes: int, anchors: int) -> jnp.ndarray
     return jnp.transpose(y, (0, 3, 1, 2, 4))
 
 
+def _s2d_stem_prefix(plan: Plan) -> int:
+    """How many leading plan entries the space-to-depth stem can absorb.
+
+    4 for the Darknet-53 pattern [conv 3x3/1, conv 3x3/2, residual(1),
+    conv 3x3/2] (exit at 128 channels, H/4), 2 for conv+downsample only
+    (CSPDarknet-53, whose third entry is a CSP stage), 0 when the prefix
+    doesn't match (tiny-YOLO's maxpool stem, custom DSLs).
+    """
+    if len(plan) >= 2 and (
+        isinstance(plan[0], PlanConv)
+        and plan[0].kernel == 3
+        and plan[0].stride == 1
+        and plan[0].bn
+        and isinstance(plan[1], PlanConv)
+        and plan[1].kernel == 3
+        and plan[1].stride == 2
+        and plan[1].bn
+        and plan[1].in_ch == plan[0].out_ch
+    ):
+        if (
+            len(plan) >= 4
+            and isinstance(plan[2], PlanResidual)
+            and plan[2].num_blocks == 1
+            and plan[2].use_residual
+            and not plan[2].save_route
+            and plan[2].channels == plan[1].out_ch
+            and isinstance(plan[3], PlanConv)
+            and plan[3].kernel == 3
+            and plan[3].stride == 2
+            and plan[3].bn
+            and plan[3].in_ch == plan[2].channels
+        ):
+            return 4
+        return 2
+    return 0
+
+
+def _apply_stem_s2d(entries, params, batch_stats, x, act, train, compute_dtype):
+    """Train/eval forward of the stem prefix in space-to-depth layout.
+
+    Arithmetically identical to running the same entries through
+    `apply_conv_block` (see models/s2d.py); BN statistics reduce over the
+    phase axis so they equal the plain-layout statistics. Returns the plain
+    (B, H/4, W/4, C) activation feeding the rest of the plan and the
+    new-stats subtree for these entries.
+    """
+    from .blocks import BN_EPS, BN_MOMENTUM, conv2d
+    from . import s2d as s2dm
+
+    def bn_act(y, p, s, c, out_s2d):
+        if train:
+            if out_s2d:
+                mean, var = s2dm.bn_batch_moments_s2d(y, c)
+            else:
+                yf = y.astype(jnp.float32)
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+                var = jnp.maximum(sq - jnp.square(mean), 0.0)
+            n = int(np.prod(y.shape)) // c
+            unbiased = var * (n / max(n - 1, 1))
+            new_s = {
+                "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+                "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+            }
+        else:
+            mean, var = s["mean"], s["var"]
+            new_s = s
+        inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+        shift = p["bias"] - mean * inv
+        if out_s2d:
+            inv, shift = s2dm.tile4(inv), s2dm.tile4(shift)
+        y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)
+        return act(y), new_s
+
+    def wk(transform, p):
+        return transform(p["w"].astype(compute_dtype))
+
+    new_stats = []
+    xs = s2dm.space_to_depth(x)
+
+    # conv0: 3x3/1 in s2d space
+    p, s = params[0]["conv"], batch_stats[0]["conv"]
+    y = conv2d(xs, wk(s2dm.s2d_kernel_s1, p), 1, 1)
+    xs, ns = bn_act(y, p, s, entries[0].out_ch, True)
+    new_stats.append({"conv": ns})
+
+    if len(entries) == 2:
+        # downsample conv exits s2d space directly
+        p, s = params[1]["conv"], batch_stats[1]["conv"]
+        y = conv2d(xs, wk(s2dm.s2d_kernel_s2_plain, p), 1, ((1, 0), (1, 0)))
+        x_out, ns = bn_act(y, p, s, entries[1].out_ch, False)
+        new_stats.append({"conv": ns})
+        return x_out, new_stats
+
+    # conv1: 3x3/2, staying in s2d space (s2d grid halves)
+    p, s = params[1]["conv"], batch_stats[1]["conv"]
+    y = conv2d(xs, wk(s2dm.s2d_kernel_s2_s2d, p), 2, 1)
+    xs, ns = bn_act(y, p, s, entries[1].out_ch, True)
+    new_stats.append({"conv": ns})
+
+    # first residual block, entirely in s2d space
+    bp, bs = params[2]["blocks"][0], batch_stats[2]["blocks"][0]
+    y = conv2d(xs, wk(s2dm.s2d_kernel_s1, bp["conv1"]), 1, 0)
+    y, ns1 = bn_act(y, bp["conv1"], bs["conv1"], entries[2].channels // 2, True)
+    y = conv2d(y, wk(s2dm.s2d_kernel_s1, bp["conv2"]), 1, 1)
+    y, ns2 = bn_act(y, bp["conv2"], bs["conv2"], entries[2].channels, True)
+    xs = xs + y
+    new_stats.append({"blocks": [{"conv1": ns1, "conv2": ns2}]})
+
+    # downsample conv exits s2d space (2x2 kernel, top/left-padded)
+    p, s = params[3]["conv"], batch_stats[3]["conv"]
+    y = conv2d(xs, wk(s2dm.s2d_kernel_s2_plain, p), 1, ((1, 0), (1, 0)))
+    x_out, ns = bn_act(y, p, s, entries[3].out_ch, False)
+    new_stats.append({"conv": ns})
+    return x_out, new_stats
+
+
 def apply(
     plan: Plan,
     params,
@@ -250,6 +367,7 @@ def apply(
     activation: str = "leaky_relu",
     train: bool = False,
     compute_dtype=jnp.bfloat16,
+    s2d_stem: bool = True,
 ):
     """Forward pass. x is NHWC. Returns (predictions, new_batch_stats).
 
@@ -277,7 +395,17 @@ def apply(
             compute_dtype=compute_dtype,
         )
 
-    for entry, p, s in zip(plan, params, batch_stats):
+    start = 0
+    if s2d_stem and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        start = _s2d_stem_prefix(plan)
+        if start:
+            x, stem_stats = _apply_stem_s2d(
+                plan[:start], params[:start], batch_stats[:start], x, act,
+                train, compute_dtype,
+            )
+            new_stats.extend(stem_stats)
+
+    for entry, p, s in zip(plan[start:], params[start:], batch_stats[start:]):
         if isinstance(entry, PlanConv):
             x, ns, _ = conv(p["conv"], s["conv"], x, entry.kernel, entry.stride)
             new_stats.append({"conv": ns})
@@ -375,6 +503,12 @@ def apply_inference(
     raw_heads: bool = False,
 ):
     """Inference forward over folded params: conv + bias + activation only.
+
+    Unlike `apply`, NO space-to-depth stem here: in folded inference the
+    plain stem layers already run near HBM speed-of-light (no BN-stat
+    epilogues), so the dense-kernel FLOP blowup is a measured net loss at
+    B=128/416px -- full 4-entry rewrite 1860 img/s, 2-entry 2039, plain
+    2061 (see benchmarks/RESULTS.md). The train-mode `apply` keeps it.
 
     raw_heads=True returns each head's raw NHWC conv output
     (B, S, S, A*(5+C)) in compute dtype, skipping the (B, A, S, S, 5+C)
@@ -483,6 +617,7 @@ class YOLOv3:
             activation=self.cfg.activation,
             train=train,
             compute_dtype=compute_dtype,
+            s2d_stem=self.cfg.s2d_stem,
         )
 
     def fold(self, params, batch_stats):
