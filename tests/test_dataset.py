@@ -335,3 +335,20 @@ def test_dataset_rng_thread_safety(data_dir):
         assert np.all(np.isfinite(img))
         for t in targets:
             assert np.all(np.isfinite(t))
+
+
+def test_dataloader_producer_exception_propagates():
+    """A failing __getitem__ (corrupt image, bad label) must surface in the
+    consumer as the original exception, not hang q.get() forever."""
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt sample")
+
+    loader = DataLoader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass

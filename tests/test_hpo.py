@@ -186,3 +186,25 @@ class _FailingOnBadLr:
             raise RuntimeError("diverged")
         epochs = (resume or 0) + num_epochs
         return 1.0 - abs(config["lr"] - 0.01), epochs
+
+
+class _AlwaysFails:
+    def __call__(self, config, num_epochs, resume):
+        raise RuntimeError("boom")
+
+
+def test_tune_model_concurrent_all_failed_raises(tmp_path):
+    """When every subprocess trial fails, tune_model must raise with the
+    trial errors instead of writing a garbage best_config.json."""
+    with pytest.raises(RuntimeError, match="every HPO trial failed.*boom"):
+        tune_model(
+            _AlwaysFails(),
+            {"lr": Choice((0.5, 0.01))},
+            num_samples=2,
+            model_folder_path=tmp_path,
+            max_epochs=2,
+            grace_period=1,
+            seed=0,
+            max_concurrent=2,
+        )
+    assert not (tmp_path / "best_config.json").exists()

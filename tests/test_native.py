@@ -130,3 +130,32 @@ def test_hsv_shift_identity():
     img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
     out = apply_hsv_shift(img, 0.0, 0.0, 0.0)
     assert np.abs(out.astype(np.int16) - img.astype(np.int16)).max() <= 1
+
+
+def test_letterbox_rounding_half_to_even_matches_python():
+    """Exact .5 scale products: the C++ letterbox must round half-to-even
+    like Python round() so pixel geometry stays aligned with the box
+    geometry (augment.letterbox_box_geometry). 413x832 @ 416 gives
+    nh = 206.5 -> 206; half-away-from-zero (lround) would give 207 and
+    shift every label by ~1px on such images."""
+    from yolo_for_turbines_tpu.data.augment import letterbox_box_geometry
+    from yolo_for_turbines_tpu.native import (
+        batch_letterbox,
+        native_available,
+        train_augment,
+    )
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    size = 416
+    for h, w in [(413, 832), (417, 834), (832, 413)]:
+        img = np.full((h, w, 3), 255, np.uint8)
+        nh, nw, top, left = letterbox_box_geometry(h, w, size)
+        content = np.zeros((size, size), bool)
+        content[top : top + nh, left : left + nw] = True
+        for out in (
+            batch_letterbox([img], size)[0],
+            train_augment(img, size),
+        ):
+            assert np.all(out[~content] == 0.0), (h, w)
+            assert np.all(out[content] > 0.5), (h, w)

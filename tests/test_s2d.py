@@ -194,10 +194,28 @@ class TestEndToEnd:
         for a, b in zip(f(True), f(False)):
             np.testing.assert_allclose(a, b, atol=5e-3)
 
-    def test_indivisible_size_falls_back(self, mini):
-        """H not divisible by 4: the s2d gate must no-op, not crash."""
-        model, params, stats = mini
-        # 32+... use 96+2*... sizes divisible by strides but not 4 don't
-        # exist for this plan (5 downsamples need %32); instead check the
-        # gate directly.
+    def test_indivisible_size_falls_back(self):
+        """H not divisible by 4: the gate in apply() must skip the s2d stem
+        (space_to_depth would crash reshaping odd dims) and still produce
+        the plain-path outputs. Uses a stride-4 single-head plan so an
+        18px input is shape-valid while failing the %4 check."""
+        layers = ((4, 3, 1), (8, 3, 2), ("B", 1), (16, 3, 2), (8, 1, 1),
+                  (16, 3, 1), "S")
+        model = YOLOv3(
+            ModelConfig(num_classes=2, layer_config=layers, strides=(4,))
+        )
+        assert M._s2d_stem_prefix(model.plan) == 4
+        params, stats = model.init(jax.random.PRNGKey(7))
+        x = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, (2, 18, 18, 3)), jnp.float32
+        )
+        f = jax.jit(
+            lambda flag: M.apply(
+                model.plan, params, stats, x, activation="leaky_relu",
+                train=True, compute_dtype=jnp.float32, s2d_stem=flag,
+            )[0],
+            static_argnums=0,
+        )
+        for a, b in zip(f(True), f(False)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
         assert M._s2d_stem_prefix(()) == 0

@@ -108,13 +108,20 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch))
-                    if not put_or_stop(collate(samples)):
-                        return
+            # any failure (corrupt image, bad label file) must still wake the
+            # consumer: deliver the exception through the queue rather than
+            # dying silently and leaving q.get() blocked forever
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, batch))
+                        if not put_or_stop(collate(samples)):
+                            return
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                put_or_stop(e)
+                return
             put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True, name="DataLoader-producer")
@@ -124,6 +131,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

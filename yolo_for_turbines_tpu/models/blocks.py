@@ -123,6 +123,51 @@ def conv2d(x, w, stride: int, padding):
     )
 
 
+def bn_batch_moments(y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pass f32 batch moments per channel (NHWC reduce over B, H, W).
+
+    var = E[x^2] - E[x]^2 rather than jnp.var's two-pass E[(x - mean)^2]:
+    both sums reduce in ONE fused read of the conv output instead of a
+    second pass that depends on the first (profiled: the _var reductions
+    cost 4.6 ms fwd + 4.5 ms bwd of the 97 ms bs=32 train step). f32
+    accumulation keeps the cancellation benign at BN-activation scales.
+    """
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(0, 1, 2))
+    sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+    return mean, jnp.maximum(sq - jnp.square(mean), 0.0)
+
+
+def bn_scale_shift(
+    params: Dict,
+    stats: Dict,
+    moments: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n: int = 0,
+):
+    """BN as an affine epilogue: returns (inv, shift, new_stats) in f32.
+
+    Train mode passes `moments` = (batch_mean, batch_var) over `n` elements
+    per channel; running stats then update with torch momentum semantics and
+    the unbiased (n/(n-1)) variance. Eval mode (moments=None) normalizes
+    with the running stats unchanged. Single source of truth for BN
+    semantics — the plain conv path (apply_conv_block) and the
+    space-to-depth stem (yolov3._apply_stem_s2d) both call this.
+    """
+    if moments is not None:
+        mean, var = moments
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    shift = params["bias"] - mean * inv
+    return inv, shift, new_stats
+
+
 def apply_conv_block(
     params: Dict,
     stats: Optional[Dict],
@@ -148,34 +193,15 @@ def apply_conv_block(
         return y, None, None
 
     if train:
-        # statistics in f32 (fused reductions -- no f32 activation tensor is
-        # materialized), running stats with torch momentum semantics.
-        # var = E[x^2] - E[x]^2 rather than jnp.var's two-pass
-        # E[(x - mean)^2]: both sums reduce in ONE fused read of the conv
-        # output instead of a second pass that depends on the first
-        # (profiled: the _var reductions cost 4.6 ms fwd + 4.5 ms bwd of the
-        # 97 ms bs=32 train step). f32 accumulation keeps the cancellation
-        # benign at BN-activation scales.
-        yf = y.astype(jnp.float32)
-        batch_mean = jnp.mean(yf, axis=(0, 1, 2))
-        batch_sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
-        batch_var = jnp.maximum(batch_sq - jnp.square(batch_mean), 0.0)
-        mean, var = batch_mean, batch_var
-        n = np.prod([d for i, d in enumerate(y.shape) if i != 3])
-        unbiased = batch_var * (n / max(n - 1, 1))
-        new_stats = {
-            "mean": (1 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * batch_mean,
-            "var": (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased,
-        }
+        moments = bn_batch_moments(y)
+        n = int(np.prod([d for i, d in enumerate(y.shape) if i != 3]))
+        inv, shift, new_stats = bn_scale_shift(params, stats, moments, n)
     else:
-        mean, var = stats["mean"], stats["var"]
-        new_stats = stats
+        inv, shift, new_stats = bn_scale_shift(params, stats)
 
     # scale/shift computed in f32, applied in the compute dtype: the
     # normalize + activation stay a bf16 elementwise pass fused into the
     # conv epilogue instead of read/writing full f32 activations
-    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    shift = params["bias"] - mean * inv
     y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)
     y = activation(y)
     return y, new_stats, None

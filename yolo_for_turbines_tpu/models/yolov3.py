@@ -287,29 +287,22 @@ def _apply_stem_s2d(entries, params, batch_stats, x, act, train, compute_dtype):
     (B, H/4, W/4, C) activation feeding the rest of the plan and the
     new-stats subtree for these entries.
     """
-    from .blocks import BN_EPS, BN_MOMENTUM, conv2d
+    from .blocks import bn_batch_moments, bn_scale_shift, conv2d
     from . import s2d as s2dm
 
     def bn_act(y, p, s, c, out_s2d):
+        # BN semantics live in blocks.bn_scale_shift (shared with
+        # apply_conv_block); only the moment reduction and the coefficient
+        # tiling are s2d-layout-aware
         if train:
-            if out_s2d:
-                mean, var = s2dm.bn_batch_moments_s2d(y, c)
-            else:
-                yf = y.astype(jnp.float32)
-                mean = jnp.mean(yf, axis=(0, 1, 2))
-                sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
-                var = jnp.maximum(sq - jnp.square(mean), 0.0)
-            n = int(np.prod(y.shape)) // c
-            unbiased = var * (n / max(n - 1, 1))
-            new_s = {
-                "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
-                "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
-            }
+            moments = (
+                s2dm.bn_batch_moments_s2d(y, c) if out_s2d else bn_batch_moments(y)
+            )
+            inv, shift, new_s = bn_scale_shift(
+                p, s, moments, int(np.prod(y.shape)) // c
+            )
         else:
-            mean, var = s["mean"], s["var"]
-            new_s = s
-        inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
-        shift = p["bias"] - mean * inv
+            inv, shift, new_s = bn_scale_shift(p, s)
         if out_s2d:
             inv, shift = s2dm.tile4(inv), s2dm.tile4(shift)
         y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)

@@ -53,8 +53,12 @@ AxisTab make_axis(int src, int dst) {
 void letterbox_one(const uint8_t* src, int sh, int sw, float* dst, int size,
                    float pad_value) {
   const float scale = static_cast<float>(size) / std::max(sh, sw);
-  const int nh = std::max(1, static_cast<int>(std::lround(sh * scale)));
-  const int nw = std::max(1, static_cast<int>(std::lround(sw * scale)));
+  // double + nearbyint (round-half-to-even) to match Python round() in
+  // data/augment.py::letterbox_box_geometry -- lround would round half away
+  // from zero and misalign image vs box geometry by 1px at exact .5
+  const double dscale = static_cast<double>(size) / std::max(sh, sw);
+  const int nh = std::max(1, static_cast<int>(std::nearbyint(sh * dscale)));
+  const int nw = std::max(1, static_cast<int>(std::nearbyint(sw * dscale)));
   const int top = (size - nh) / 2;
   const int left = (size - nw) / 2;
   const size_t plane = static_cast<size_t>(size) * size * 3;
@@ -190,10 +194,12 @@ void train_augment_one(const uint8_t* src, int sh, int sw, float* dst,
   const bool do_hsv = p[5] > 0.5f;
   const float dh = p[6], ds = p[7], dv = p[8];
 
-  // letterbox geometry (matches letterbox_one / data/augment.py::letterbox)
+  // letterbox geometry (matches letterbox_one / data/augment.py::letterbox;
+  // half-to-even in double, see letterbox_one)
   const float r = static_cast<float>(size) / std::max(sh, sw);
-  const int nh = std::max(1, static_cast<int>(std::lround(sh * r)));
-  const int nw = std::max(1, static_cast<int>(std::lround(sw * r)));
+  const double dr = static_cast<double>(size) / std::max(sh, sw);
+  const int nh = std::max(1, static_cast<int>(std::nearbyint(sh * dr)));
+  const int nw = std::max(1, static_cast<int>(std::nearbyint(sw * dr)));
   const int top = (size - nh) / 2;
   const int left = (size - nw) / 2;
 

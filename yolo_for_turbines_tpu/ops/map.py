@@ -269,19 +269,38 @@ def calc_map_device_range(
 
     Returns a dict {"mAP@0.5": ..., ..., "mAP@[.5:.95]": mean} of floats.
     """
-    import jax
     import jax.numpy as jnp
 
     if iou_thresholds is None:
         iou_thresholds = [0.5 + 0.05 * i for i in range(10)]
     ts = jnp.asarray(iou_thresholds, jnp.float32)
-    fn = lambda t: calc_map_device_batched(
-        preds, pred_valid, gts, gt_valid, t, num_classes
-    )
-    aps = jax.vmap(fn)(ts)
+    # one compiled program per (num_classes, shapes) -- never dispatch the
+    # scan-over-slots eagerly on the TPU tunnel (repo rule: always jit)
+    aps = _jitted_map_range(num_classes)(preds, pred_valid, gts, gt_valid, ts)
     out = {f"mAP@{t:g}": float(v) for t, v in zip(iou_thresholds, aps)}
     out["mAP@[.5:.95]"] = float(jnp.mean(aps))
     return out
+
+
+_MAP_RANGE_JITS: dict = {}
+
+
+def _jitted_map_range(num_classes: int):
+    """Build-once jitted threshold-vmap of `calc_map_device_batched`
+    (cached per num_classes; jit's own cache handles input shapes)."""
+    import jax
+
+    if num_classes not in _MAP_RANGE_JITS:
+
+        def f(preds, pred_valid, gts, gt_valid, ts):
+            return jax.vmap(
+                lambda t: calc_map_device_batched(
+                    preds, pred_valid, gts, gt_valid, t, num_classes
+                )
+            )(ts)
+
+        _MAP_RANGE_JITS[num_classes] = jax.jit(f)
+    return _MAP_RANGE_JITS[num_classes]
 
 
 def calc_map_device(

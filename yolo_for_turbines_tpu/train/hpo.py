@@ -105,6 +105,7 @@ class Trial:
     score: float = -math.inf
     epochs_run: int = 0
     stopped: bool = False
+    error: Optional[str] = None
 
 
 class ASHAScheduler:
@@ -242,10 +243,16 @@ def _run_trials_concurrent(
             try:
                 msg = conn.recv()
             except EOFError:
+                trial.error = "worker process died (EOF)"
+                print(f"[hpo] trial {trial.id} failed: {trial.error}")
                 finish(conn, stopped_cleanly=False)
                 continue
             if msg[0] == "error":
-                # failed trial scores -inf and is out of the running
+                # failed trial scores -inf and is out of the running; keep
+                # the message so an all-failed search raises, not silently
+                # writes a garbage best_config.json
+                trial.error = msg[1]
+                print(f"[hpo] trial {trial.id} failed: {msg[1]}")
                 finish(conn)
                 continue
             if sched.on_result(trial, msg[1]):
@@ -318,7 +325,13 @@ def tune_model(
                     trial.stopped = True
             results.append(trial)
 
-    best = max(results, key=lambda t: t.score)
+    succeeded = [t for t in results if t.error is None and t.score > -math.inf]
+    if not succeeded:
+        errs = "; ".join(
+            f"trial {t.id}: {t.error}" for t in results if t.error
+        )
+        raise RuntimeError(f"every HPO trial failed — {errs or 'no results'}")
+    best = max(succeeded, key=lambda t: t.score)
     payload = {"config": best.config, metric: best.score * sched.sign}
     out = Path(model_folder_path)
     out.mkdir(parents=True, exist_ok=True)

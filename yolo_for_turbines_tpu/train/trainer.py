@@ -266,7 +266,6 @@ class HPOTrainFn:
         anchors=cfg.TURBINE_ANCHORS,
         weights_path=None,
         num_workers: int = 8,
-        eval_every: int = 1,
     ):
         self.csv_folder_path = csv_folder_path
         self.model_folder_path = model_folder_path
@@ -275,7 +274,6 @@ class HPOTrainFn:
         self.anchors = np.asarray(anchors, np.float32)
         self.weights_path = weights_path
         self.num_workers = num_workers
-        self.eval_every = eval_every
 
     def __call__(self, config, num_epochs, resume_state):
         tc = (
@@ -342,9 +340,10 @@ def make_hpo_train_fn(
     anchors=cfg.TURBINE_ANCHORS,
     weights_path=None,
     num_workers: int = 8,
-    eval_every: int = 1,
 ):
-    """Build the picklable HPOTrainFn adapter (see HPOTrainFn)."""
+    """Build the picklable HPOTrainFn adapter (see HPOTrainFn). mAP is
+    evaluated once per ASHA rung boundary — the rung budget is the eval
+    cadence, as in the reference's session.report flow."""
     return HPOTrainFn(
         csv_folder_path,
         model_folder_path,
@@ -353,7 +352,6 @@ def make_hpo_train_fn(
         anchors=anchors,
         weights_path=weights_path,
         num_workers=num_workers,
-        eval_every=eval_every,
     )
 
 
