@@ -165,6 +165,11 @@ class ModelConfig:
     # (tuple of entries; overrides the backbone choice when set). Hashable so
     # the config stays jit-cache-safe.
     layer_config: Optional[tuple] = None
+    # Inference: run qualifying residual stages through the fused Pallas
+    # chain kernel (ops/pallas/resblock_kernel.py) — one HBM read/write per
+    # chunk of blocks instead of per conv. Applied only where it measures
+    # faster than XLA (26x26x512-class stages, -7%); exact arithmetic.
+    fuse_resblocks: bool = True
     # Run the TRAIN-mode stem in space-to-depth layout (models/s2d.py):
     # arithmetically identical, ~8x better TPU lane/MXU utilization on the
     # 3-64-channel entry layers (23% off the bs=32 train step). Applies when

@@ -494,6 +494,7 @@ def apply_inference(
     activation: str = "leaky_relu",
     compute_dtype=jnp.bfloat16,
     raw_heads: bool = False,
+    fuse_resblocks: bool = True,
 ):
     """Inference forward over folded params: conv + bias + activation only.
 
@@ -533,10 +534,22 @@ def apply_inference(
         elif isinstance(entry, PlanConv):
             x = conv(p["conv"], x, entry.kernel, entry.stride)
         elif isinstance(entry, PlanResidual):
-            for bp in p["blocks"]:
-                y = conv(bp["conv1"], x, 1, 1)
-                y = conv(bp["conv2"], y, 3, 1)
-                x = x + y if entry.use_residual else y
+            fused = None
+            if fuse_resblocks and entry.use_residual:
+                from ..ops.pallas.resblock_kernel import (
+                    apply_residual_stage_fused,
+                )
+
+                # fused Pallas chain where it measures faster than the XLA
+                # convs (26x26x512-class stages; see resblock_kernel.py)
+                fused = apply_residual_stage_fused(p, x, activation)
+            if fused is not None:
+                x = fused
+            else:
+                for bp in p["blocks"]:
+                    y = conv(bp["conv1"], x, 1, 1)
+                    y = conv(bp["conv2"], y, 3, 1)
+                    x = x + y if entry.use_residual else y
             if entry.save_route:
                 routes.append(x)
         elif isinstance(entry, PlanHead):
@@ -624,4 +637,5 @@ class YOLOv3:
             activation=self.cfg.activation,
             compute_dtype=compute_dtype,
             raw_heads=raw_heads,
+            fuse_resblocks=self.cfg.fuse_resblocks,
         )
