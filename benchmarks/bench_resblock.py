@@ -38,7 +38,7 @@ def bench(f, x, iters=30):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     rng = np.random.default_rng(0)
-    for (h, c, n) in [(13, 1024, 4), (26, 512, 8)]:
+    for (h, c, n) in [(52, 256, 8), (26, 512, 8)]:
         ch = c // 2
         x = jnp.asarray(rng.normal(size=(B, h, h, c)) * 0.1, jnp.bfloat16)
         w1s = jnp.asarray(rng.normal(size=(n, 1, 1, c, ch)) * 0.05, jnp.bfloat16)

@@ -171,6 +171,10 @@ def fused_residual_stage(
                 (1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            # donate x into the output: each grid step reads exactly the
+            # block it overwrites, and halving the buffered tiles frees
+            # ~2 * H*W*C bf16 bytes of VMEM for bigger chunks
+            input_output_aliases={0: 0},
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * h * w * c * ch * 10 * chunk,
                 bytes_accessed=2 * b * h * w * c * 2
