@@ -129,3 +129,51 @@ def test_multislice_mesh_train_step(rng):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_sharded_predictor_matches_single_device(rng):
+    """DP serving: a mesh-sharded Predictor (shard_map over the data axis)
+    must return exactly the single-device results for the same batch."""
+    from yolo_for_turbines_tpu.inference import Predictor
+
+    model = mini_model()
+    params, stats = model.init(jax.random.PRNGKey(3))
+    folded = model.fold(params, stats)
+    x = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+
+    p1 = Predictor(model, folded, image_size=64, compute_dtype=jnp.float32)
+    k1, m1 = p1.predict_batch(x)
+
+    mesh = create_mesh()
+    p8 = Predictor(
+        model, folded, image_size=64, compute_dtype=jnp.float32, mesh=mesh
+    )
+    k8, m8 = p8.predict_batch(x)
+
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m8))
+    np.testing.assert_allclose(
+        np.asarray(k1), np.asarray(k8), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_predictor_multislice_mesh(rng):
+    """Same over the 2x4 ('dcn','data') mesh (batch sharded over both axes)."""
+    from yolo_for_turbines_tpu.inference import Predictor
+    from yolo_for_turbines_tpu.parallel.mesh import create_multislice_mesh
+
+    model = mini_model()
+    params, stats = model.init(jax.random.PRNGKey(4))
+    folded = model.fold(params, stats)
+    x = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+
+    p1 = Predictor(model, folded, image_size=64, compute_dtype=jnp.float32)
+    k1, m1 = p1.predict_batch(x)
+    pm = Predictor(
+        model, folded, image_size=64, compute_dtype=jnp.float32,
+        mesh=create_multislice_mesh(2, 4),
+    )
+    km, mm = pm.predict_batch(x)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(mm))
+    np.testing.assert_allclose(
+        np.asarray(k1), np.asarray(km), rtol=1e-5, atol=1e-6
+    )

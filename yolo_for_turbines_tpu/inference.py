@@ -42,6 +42,7 @@ class Predictor:
         max_boxes: int = 256,
         compute_dtype=jnp.bfloat16,
         use_pallas_nms: bool = False,
+        mesh=None,
     ):
         self.model = model
         # pre-cast weights to the compute dtype once: halves weight HBM
@@ -59,9 +60,48 @@ class Predictor:
         self.max_boxes = max_boxes
         self.compute_dtype = compute_dtype
         self.use_pallas_nms = use_pallas_nms
-        self._jitted = jax.jit(
-            functools.partial(self._pipeline), static_argnames=("image_size",)
-        )
+        self.mesh = mesh
+        if mesh is None:
+            self._jitted = jax.jit(
+                functools.partial(self._pipeline),
+                static_argnames=("image_size",),
+            )
+        else:
+            # Multi-chip serving: the pipeline is embarrassingly parallel
+            # per image (forward + decode + NMS, zero cross-image
+            # communication), so shard_map over the mesh's data axis runs
+            # each chip on its local batch shard with local shapes — the
+            # Pallas NMS/residual kernels work unchanged per shard. Params
+            # replicate; batch must divide the mesh size (see
+            # parallel.mesh.pad_batch_to_multiple for ragged tails).
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import batch_sharding
+
+            batch_spec = batch_sharding(mesh).spec
+
+            def make(image_size):
+                local = functools.partial(
+                    self._pipeline, image_size=image_size
+                )
+                return jax.jit(
+                    shard_map(
+                        local,
+                        mesh=mesh,
+                        in_specs=(P(), batch_spec),
+                        out_specs=(batch_spec, batch_spec),
+                    )
+                )
+
+            cache = {}
+
+            def jitted(params, x, *, image_size):
+                if image_size not in cache:
+                    cache[image_size] = make(image_size)
+                return cache[image_size](params, x)
+
+            self._jitted = jitted
 
     def _pipeline(self, params, x, *, image_size: int):
         from .ops.decode import decode_raw_all
@@ -88,7 +128,14 @@ class Predictor:
         return kept, mask
 
     def predict_batch(self, x) -> Tuple[np.ndarray, np.ndarray]:
-        """x: (B, S, S, 3) float in [0, 1]. Returns ((B, K, 6), (B, K))."""
+        """x: (B, S, S, 3) float in [0, 1]. Returns ((B, K, 6), (B, K)).
+
+        With a mesh, B must be a multiple of the mesh size (pad ragged
+        tails with parallel.mesh.pad_batch_to_multiple)."""
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding
+
+            x = jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
         kept, mask = self._jitted(self.folded_params, x, image_size=x.shape[1])
         return kept, mask
 
