@@ -352,3 +352,33 @@ def test_dataloader_producer_exception_propagates():
     with pytest.raises(ValueError, match="corrupt sample"):
         for _ in loader:
             pass
+
+
+def test_cache_images_hits_and_matches(data_dir):
+    """cache_images=True: second load returns the cached decode (no disk
+    read) and identical pixels; multi-scale drafts at the largest bucket."""
+    create_csv_files(
+        data_dir / "images", data_dir / "labels", data_dir, {"train": 1.0}
+    )
+    kw = dict(
+        csv_split_file=data_dir / "train.csv",
+        img_folder=data_dir / "images",
+        annotation_folder=data_dir / "labels",
+        anchors=cfg.ANCHORS,
+        image_size=128,
+        grid_sizes=[4, 8, 16],
+        num_classes=2,
+        transform=test_transforms(128),
+    )
+    plain = YOLODataset(**kw)
+    cached = YOLODataset(**kw, cache_images=True)
+    a = cached.load_image(0)
+    assert 0 in cached._image_cache
+    np.testing.assert_array_equal(a, plain.load_image(0))
+    # cache hit: same object back even if the file disappears
+    cached.img_folder = data_dir / "nonexistent"
+    b = cached.load_image(0)
+    assert b is a
+    # __getitem__ works off the cache
+    img, targets = cached[0]
+    assert img.shape == (128, 128, 3)

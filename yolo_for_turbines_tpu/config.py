@@ -207,6 +207,9 @@ class TrainConfig:
     image_size: int = DEF_IMAGE_SIZE
     multi_scale: bool = True
     mosaic: bool = False  # reference: code/config.py:36
+    # RAM-cache decoded train/val images across epochs (beyond-reference;
+    # skips the dominant JPEG-decode cost on few-core hosts)
+    cache_images: bool = False
     freeze_backbone: bool = False  # reference: code/config.py:35
     load_weights: bool = False  # reference: code/config.py:34
     load_checkpoint: bool = False  # reference: code/config.py:16

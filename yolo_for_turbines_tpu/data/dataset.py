@@ -112,6 +112,7 @@ class YOLODataset:
         mosaic: bool = False,
         multi_scale: bool = False,
         seed: int = 0,
+        cache_images: bool = False,
     ):
         self.annotations = self._read_csv(csv_split_file)
         self.img_folder = Path(img_folder)
@@ -131,6 +132,15 @@ class YOLODataset:
         self.mosaic = mosaic
         self.multi_scale = multi_scale
         self.ignore_iou_threshold = 0.5
+        # Opt-in RAM cache of decoded images: JPEG decode is ~5 ms/img, half
+        # the remaining __getitem__ cost on a 1-core host
+        # (benchmarks/RESULTS.md "input pipeline") and pure waste after the
+        # first epoch. ~0.9 MB per 640x480 image; caller owns the memory
+        # trade. Cached decodes draft to the LARGEST size the dataset can
+        # be re-bucketed to, so multi-scale up-buckets never upsample a
+        # degraded draft.
+        self.cache_images = cache_images
+        self._image_cache: dict = {}
         self.rng = np.random.default_rng(seed)
         # numpy Generators are not thread-safe; loader worker threads draw
         # per-item child generators under this lock (same guarantee as torch
@@ -157,6 +167,10 @@ class YOLODataset:
         return len(self.annotations)
 
     def load_image(self, idx: int) -> np.ndarray:
+        if self.cache_images:
+            cached = self._image_cache.get(idx)
+            if cached is not None:
+                return cached
         img_path = self.img_folder / self.annotations[idx][0]
         img = Image.open(img_path)
         # JPEG fast path: let libjpeg decode at 1/2..1/8 scale when the
@@ -164,8 +178,17 @@ class YOLODataset:
         # down anyway, and DCT-domain scaling is ~linear in output pixels.
         # No-op for PNG and for images already near target size; normalized
         # box labels are resolution-independent.
-        img.draft("RGB", (self.image_size, self.image_size))
-        return np.array(img.convert("RGB"), dtype=np.uint8)
+        draft = (
+            max(cfg.MULTI_SCALE_TRAIN_SIZES)
+            if self.cache_images and self.multi_scale
+            else self.image_size
+        )
+        img.draft("RGB", (draft, draft))
+        arr = np.array(img.convert("RGB"), dtype=np.uint8)
+        if self.cache_images:
+            # plain dict store: GIL-atomic; a racing double-decode is benign
+            self._image_cache[idx] = arr
+        return arr
 
     def load_boxes(self, label_path: Path) -> np.ndarray:
         boxes = np.loadtxt(label_path, delimiter=" ")

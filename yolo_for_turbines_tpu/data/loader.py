@@ -184,6 +184,7 @@ def get_loaders(
     mosaic: bool = False,
     image_size: int = cfg.DEF_IMAGE_SIZE,
     strides=cfg.STRIDES,
+    cache_images: bool = False,
 ):
     """Build train/val/test loaders from split CSVs
     (parity with reference code/utils.py:704-784). `strides` selects the
@@ -206,6 +207,7 @@ def get_loaders(
             transform=transform,
             mosaic=mosaic if is_train else False,
             multi_scale=is_train,
+            cache_images=cache_images,
         )
 
     if train:

@@ -40,6 +40,7 @@ def main(argv=None):
     ap.add_argument("--max-num-steps", type=int, default=None)
     ap.add_argument("--activation", default=None)
     ap.add_argument("--mosaic", action="store_true")
+    ap.add_argument("--cache-images", action="store_true")
     ap.add_argument("--freeze-backbone", action="store_true")
     args = ap.parse_args(argv)
 
@@ -55,6 +56,8 @@ def main(argv=None):
             overrides[k] = v
     if args.mosaic:
         overrides["mosaic"] = True
+    if args.cache_images:
+        overrides["cache_images"] = True
     if args.freeze_backbone:
         overrides["freeze_backbone"] = True
     if args.weights:

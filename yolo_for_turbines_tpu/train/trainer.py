@@ -300,6 +300,7 @@ class HPOTrainFn:
                 annotation_folder=self.annotation_folder,
                 num_workers=self.num_workers,
                 mosaic=tc.mosaic,
+                cache_images=tc.cache_images,
                 image_size=tc.image_size,
             )
             import hashlib
@@ -412,6 +413,7 @@ def train(
         annotation_folder=annotation_folder,
         num_workers=num_workers,
         mosaic=tc.mosaic,
+        cache_images=tc.cache_images,
         image_size=tc.image_size,
         strides=trainer.model.strides,
     )
