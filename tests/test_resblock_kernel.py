@@ -72,3 +72,18 @@ def test_chunk_sizer():
     assert resblock_chunk_for(26, 26, 512, 8) >= 1
     # 104x104x128: f32 accumulator + tiles blow VMEM -> XLA path
     assert resblock_chunk_for(104, 104, 128, 2) == 0
+
+
+def test_stage_wins_gate():
+    from yolo_for_turbines_tpu.ops.pallas.resblock_kernel import stage_wins
+
+    # the winning class: 26x26x512, batched
+    assert stage_wins(128, 26, 26, 512, 8)
+    assert stage_wins(8, 26, 26, 512, 8)
+    # single/tiny-batch serving keeps the XLA path (launch overhead)
+    assert not stage_wins(1, 26, 26, 512, 8)
+    assert not stage_wins(4, 26, 26, 512, 8)
+    # losing geometries
+    assert not stage_wins(128, 52, 52, 256, 8)
+    assert not stage_wins(128, 104, 104, 128, 2)
+    assert not stage_wins(128, 13, 13, 1024, 4)

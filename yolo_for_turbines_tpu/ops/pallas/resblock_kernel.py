@@ -215,13 +215,15 @@ def resblock_chunk_for(h: int, w: int, c: int, n_blocks: int) -> int:
     return chunk
 
 
-def stage_wins(h: int, w: int, c: int, n_blocks: int) -> bool:
-    """Measured policy for where the fused kernel beats XLA (v5e, B=128,
-    benchmarks/bench_resblock.py): the 26x26x512-class stage wins (-7%);
-    52x52x256 loses (VPU shift traffic over 2704-row tiles) and 13x13x1024
-    can't hold its weights in VMEM. Gate on the winning geometry class:
-    mid-size spatial extent with c >= 512 and a usable chunk."""
-    if c < 512 or h * w > 32 * 32 or h * w < 16 * 16:
+def stage_wins(b: int, h: int, w: int, c: int, n_blocks: int) -> bool:
+    """Measured policy for where the fused kernel beats XLA (v5e,
+    benchmarks/bench_resblock.py): the 26x26x512-class stage wins (-7% at
+    B=128, -4% at B=8); 52x52x256 loses (VPU shift traffic over 2704-row
+    tiles), 13x13x1024 can't hold its weights in VMEM, and B=1 loses
+    outright (launch overhead + per-launch weight DMA can't amortize:
+    forward 2.30 vs 1.58 ms). Gate on the winning class: mid-size spatial
+    extent, c >= 512, a usable chunk, and batch >= 8."""
+    if b < 8 or c < 512 or h * w > 32 * 32 or h * w < 16 * 16:
         return False
     return resblock_chunk_for(h, w, c, n_blocks) >= 2
 
@@ -234,7 +236,7 @@ def apply_residual_stage_fused(params, x, activation: str):
         return None
     b, h, w, c = x.shape
     n = len(params["blocks"])
-    if not stage_wins(h, w, c, n):
+    if not stage_wins(b, h, w, c, n):
         return None
     chunk = min(4, resblock_chunk_for(h, w, c, n))
     while n % chunk:
