@@ -84,6 +84,20 @@ def main():
     p50, mean = timeit(lambda: nms_xla(boxes), iters=30)
     emit("nms_p50_latency_xla_iou", p50 * 1e3, "ms")
 
+    # --- int8 PTQ serving pipeline (models/quantize.py)
+    p8 = Predictor(model, folded, image_size=416, use_pallas_nms=True)
+    p8.quantize(np.asarray(x[:8], np.float32))
+    r = p8.predict_batch(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    iters = 15
+    for _ in range(iters):
+        r = p8.predict_batch(x)
+    jax.block_until_ready(r)
+    mean = (time.perf_counter() - t0) / iters
+    emit("int8_ptq_416_inference_throughput", B / mean, "images/sec/chip",
+         {"batch": B})
+
     # --- training step throughput (fine-tune config: 416px, 2 classes)
     tmodel = YOLOv3(ModelConfig(num_classes=2, activation="mish"))
     tc = TrainConfig(batch_size=32, max_num_steps=100)

@@ -103,6 +103,21 @@ class Predictor:
 
             self._jitted = jitted
 
+    def quantize(self, calib_batch) -> "Predictor":
+        """Switch this predictor to the int8 PTQ path (models/quantize.py):
+        int8 convs on the MXU (2x bf16 rate), bf16 heads. `calib_batch` is a
+        representative (N, S, S, 3) [0,1] batch for activation-scale
+        calibration. Returns self."""
+        from .models.quantize import quantize_folded
+
+        self._qparams = quantize_folded(
+            self.model.plan,
+            self.folded_params,
+            jnp.asarray(calib_batch, jnp.float32),
+            self.model.cfg.activation,
+        )
+        return self
+
     def _pipeline(self, params, x, *, image_size: int):
         from .ops.decode import decode_raw_all
 
@@ -110,6 +125,28 @@ class Predictor:
         scaled_anchors = jnp.asarray(self.anchors) * jnp.asarray(
             grid_sizes, jnp.float32
         ).reshape(-1, 1, 1)
+        # int8 params arrive through the same traced argument (structure is
+        # static per trace, so this python-level branch is jit-safe)
+        if isinstance(params, dict) and "scales" in params:
+            from .models.quantize import apply_inference_int8
+
+            raw = apply_inference_int8(
+                self.model.plan, params, x,
+                activation=self.model.cfg.activation, raw_heads=True,
+                compute_dtype=self.compute_dtype,
+            )
+            raw = [r.astype(self.compute_dtype) for r in raw]
+            boxes = decode_raw_all(
+                raw, scaled_anchors, grid_sizes, self.model.cfg.num_classes
+            )
+            kept, mask = batched_nms(
+                boxes,
+                iou_threshold=self.nms_iou_threshold,
+                obj_threshold=self.conf_threshold,
+                max_boxes=self.max_boxes,
+                use_pallas=self.use_pallas_nms,
+            )
+            return kept, mask
         # raw-head fast path: decode consumes the NHWC conv output directly,
         # skipping the (B, A, S, S, 5+C) transpose + f32 materialization
         raw = self.model.apply_folded(
@@ -136,7 +173,8 @@ class Predictor:
             from .parallel.mesh import batch_sharding
 
             x = jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
-        kept, mask = self._jitted(self.folded_params, x, image_size=x.shape[1])
+        params = getattr(self, "_qparams", None) or self.folded_params
+        kept, mask = self._jitted(params, x, image_size=x.shape[1])
         return kept, mask
 
     def predict_images(

@@ -224,9 +224,16 @@ def maxpool2d(x, kernel: int, stride: int):
     """NHWC max pool. stride==1 uses SAME padding (darknet's tiny-YOLO
     maxpool 2/1 keeps the 13x13 map); otherwise VALID with stride==kernel."""
     padding = "SAME" if stride == 1 else "VALID"
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        # identity must be a CONCRETE scalar of the operand dtype (a python
+        # int fails int8 type checks; a jnp array breaks autodiff tracing);
+        # int8 pools feed the quantized inference path
+        init = np.dtype(x.dtype).type(np.iinfo(np.dtype(x.dtype)).min)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         (1, kernel, kernel, 1),
         (1, stride, stride, 1),

@@ -1,0 +1,235 @@
+"""Post-training int8 quantization for the folded inference path.
+
+v5e's MXU runs int8 at 2x the bf16 rate and int8 activations halve HBM
+traffic, measured 1.6x faster per conv (benchmarks/RESULTS.md "int8").
+This module quantizes a FOLDED parameter tree (models/blocks.fold_conv_bn)
+to int8 with the standard PTQ recipe:
+
+- weights: symmetric per-output-channel int8 (s_w[oc] = max|w[..., oc]|/127);
+- activations: symmetric per-tensor int8, scales calibrated by running the
+  bf16 model over a representative batch and recording each tensor's
+  max-abs (`calibrate`);
+- compute: int8 conv -> int32 accumulation on the MXU; the epilogue
+  (dequant scale, bias, activation, requant to the next tensor's scale)
+  stays in f32 and fuses into the conv — inter-layer traffic is int8.
+
+Layer policy (accuracy-first): backbone/neck convs and residual adds run
+int8; detection heads (the two convs feeding each scale prediction) run
+bf16 from a dequantized input — they are a tiny fraction of the FLOPs and
+the most precision-sensitive outputs. leaky_relu (0.55x + 0.45|x|) and
+mish are applied in f32 inside the fused epilogue, so activation
+nonlinearity costs no extra precision.
+
+The reference has no quantization; this is a beyond-reference serving
+option. mAP impact must be validated on real weights (standard per-channel
+PTQ on YOLOv3 typically costs <1 mAP point); this environment has no
+weight/dataset egress, so tests bound the numeric drift vs the bf16 path
+instead (cosine similarity + box-level agreement, tests/test_quantize.py).
+
+Supported plan entries: PlanConv, PlanResidual, PlanHead, PlanMaxPool,
+PlanRoute, PlanUpsample (darknet53 + tiny). CSP plans raise (stay bf16).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blocks import conv2d, get_activation, maxpool2d, upsample2x
+from .yolov3 import (
+    PlanConv,
+    PlanHead,
+    PlanMaxPool,
+    PlanResidual,
+    PlanRoute,
+    PlanUpsample,
+    _head_reshape,
+)
+
+INPUT_SCALE = 1.0 / 127.0  # inputs are [0, 1]
+
+
+def _wq(w) -> tuple:
+    """Per-output-channel symmetric int8 weight quant: (wq, s_w[oc])."""
+    w = np.asarray(w, np.float32)
+    s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s = np.maximum(s, 1e-12)
+    wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return jnp.asarray(wq), jnp.asarray(s, jnp.float32)
+
+
+def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
+    """Run the bf16 folded walk over a representative batch and record each
+    int8 tensor's max-abs, in the exact order `apply_inference_int8`
+    consumes them. Returns a tuple of per-tensor scales (max/127)."""
+    act = get_activation(activation)
+    x = jnp.asarray(x_calib, jnp.float32)
+    maxes: List[float] = []
+
+    def rec(t):
+        maxes.append(float(jnp.max(jnp.abs(t))))
+        return t
+
+    def conv(p, t, kernel, stride):
+        pad = 1 if kernel == 3 else 0
+        return act(conv2d(t, p["w"].astype(t.dtype), stride, pad) + p["b"])
+
+    routes = []
+    for entry, p in zip(plan, folded):
+        if isinstance(entry, PlanConv):
+            x = rec(conv(p["conv"], x, entry.kernel, entry.stride))
+        elif isinstance(entry, PlanResidual):
+            for bp in p["blocks"]:
+                y = rec(conv(bp["conv1"], x, 1, 1))
+                y = conv(bp["conv2"], y, 3, 1)
+                x = rec(x + y if entry.use_residual else y)
+            if entry.save_route:
+                routes.append(x)
+        elif isinstance(entry, PlanHead):
+            pass  # heads run bf16; no int8 tensors
+        elif isinstance(entry, PlanMaxPool):
+            x = maxpool2d(x, entry.kernel, entry.stride)  # scale-preserving
+        elif isinstance(entry, PlanRoute):
+            routes.append(x)
+        elif isinstance(entry, PlanUpsample):
+            x = rec(
+                jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
+            )
+        else:
+            raise ValueError(
+                f"int8 quantization does not support {type(entry).__name__} "
+                "(CSP plans stay bf16)"
+            )
+    return tuple(max(m, 1e-12) / 127.0 for m in maxes)
+
+
+def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
+    """Quantize folded params given a calibration batch.
+
+    Returns {"layers": [...], "scales": (...)}: per-entry int8 weights +
+    f32 epilogue constants, plus the calibrated activation scales.
+    """
+    scales = calibrate(plan, folded, x_calib, activation)
+    layers = []
+    for entry, p in zip(plan, folded):
+        if isinstance(entry, PlanConv):
+            wq, sw = _wq(p["conv"]["w"])
+            layers.append({"wq": wq, "sw": sw, "b": jnp.asarray(p["conv"]["b"], jnp.float32)})
+        elif isinstance(entry, PlanResidual):
+            blocks = []
+            for bp in p["blocks"]:
+                w1q, s1 = _wq(bp["conv1"]["w"])
+                w2q, s2 = _wq(bp["conv2"]["w"])
+                blocks.append({
+                    "w1q": w1q, "s1": s1, "b1": jnp.asarray(bp["conv1"]["b"], jnp.float32),
+                    "w2q": w2q, "s2": s2, "b2": jnp.asarray(bp["conv2"]["b"], jnp.float32),
+                })
+            layers.append({"blocks": blocks})
+        else:
+            layers.append(p)  # heads & weightless entries keep bf16 params
+    return {"layers": layers, "scales": scales}
+
+
+def _conv_i8(xq, wq, stride, pad):
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _requant(y_f, s_out):
+    return jnp.clip(jnp.round(y_f / s_out), -127, 127).astype(jnp.int8)
+
+
+def apply_inference_int8(
+    plan,
+    qparams,
+    x,
+    activation: str = "leaky_relu",
+    raw_heads: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """int8 twin of `yolov3.apply_inference` over `quantize_folded` output.
+
+    x: (B, S, S, 3) float in [0, 1]. Returns the same predictions list as
+    the bf16 path (heads computed in `compute_dtype`).
+    """
+    act = get_activation(activation)
+    layers = qparams["layers"]
+    scales = list(qparams["scales"])
+    si = iter(range(len(scales)))
+
+    xq = _requant(jnp.asarray(x, jnp.float32), INPUT_SCALE)
+    s_x = INPUT_SCALE
+    preds = []
+    routes = []  # (int8 tensor, scale)
+
+    def epilogue(y32, s_in, sw, b, s_out, residual=None):
+        # dequant + bias + activation (+ residual add) + requant: one fused
+        # f32 elementwise pass in the conv epilogue
+        y = y32.astype(jnp.float32) * (s_in * sw) + b
+        y = act(y)
+        if residual is not None:
+            rq, rs = residual
+            y = y + rq.astype(jnp.float32) * rs
+        return _requant(y, s_out)
+
+    for entry, p in zip(plan, layers):
+        if isinstance(entry, PlanConv):
+            pad = 1 if entry.kernel == 3 else 0
+            s_out = scales[next(si)]
+            y32 = _conv_i8(xq, p["wq"], entry.stride, pad)
+            xq = epilogue(y32, s_x, p["sw"], p["b"], s_out)
+            s_x = s_out
+        elif isinstance(entry, PlanResidual):
+            for bp in p["blocks"]:
+                s1_out = scales[next(si)]
+                t1 = epilogue(
+                    _conv_i8(xq, bp["w1q"], 1, 0), s_x, bp["s1"], bp["b1"], s1_out
+                )
+                s2_out = scales[next(si)]
+                res = (xq, s_x) if entry.use_residual else None
+                xq = epilogue(
+                    _conv_i8(t1, bp["w2q"], 1, 1), s1_out, bp["s2"], bp["b2"],
+                    s2_out, residual=res,
+                )
+                s_x = s2_out
+            if entry.save_route:
+                routes.append((xq, s_x))
+        elif isinstance(entry, PlanHead):
+            # bf16 head from the dequantized trunk
+            xf = (xq.astype(jnp.float32) * s_x).astype(compute_dtype)
+            y = act(
+                conv2d(xf, p["conv1"]["w"].astype(compute_dtype), 1, 1)
+                + p["conv1"]["b"].astype(compute_dtype)
+            )
+            y = (
+                conv2d(y, p["conv2"]["w"].astype(compute_dtype), 1, 0)
+                + p["conv2"]["b"].astype(compute_dtype)
+            )
+            if raw_heads:
+                preds.append(y)
+            else:
+                preds.append(
+                    _head_reshape(
+                        y.astype(jnp.float32),
+                        entry.num_classes,
+                        entry.anchors_per_scale,
+                    )
+                )
+        elif isinstance(entry, PlanMaxPool):
+            xq = maxpool2d(xq, entry.kernel, entry.stride)
+        elif isinstance(entry, PlanRoute):
+            routes.append((xq, s_x))
+        elif isinstance(entry, PlanUpsample):
+            rq, rs = routes.pop()
+            s_out = scales[next(si)]
+            up = upsample2x(xq).astype(jnp.float32) * s_x
+            rf = rq.astype(jnp.float32) * rs
+            xq = _requant(jnp.concatenate([up, rf], axis=-1), s_out)
+            s_x = s_out
+    return preds
