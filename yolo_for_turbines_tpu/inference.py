@@ -45,6 +45,9 @@ class Predictor:
         mesh=None,
     ):
         self.model = model
+        # keep the caller's full-precision folded tree for quantize() --
+        # int8 scales/codes should not compound bf16 pre-cast rounding
+        self._folded_input = folded_params
         # pre-cast weights to the compute dtype once: halves weight HBM
         # traffic per conv and removes the per-call f32->bf16 cast pass
         self.folded_params = jax.tree_util.tree_map(
@@ -112,7 +115,7 @@ class Predictor:
 
         self._qparams = quantize_folded(
             self.model.plan,
-            self.folded_params,
+            self._folded_input,
             jnp.asarray(calib_batch, jnp.float32),
             self.model.cfg.activation,
         )
@@ -135,7 +138,6 @@ class Predictor:
                 activation=self.model.cfg.activation, raw_heads=True,
                 compute_dtype=self.compute_dtype,
             )
-            raw = [r.astype(self.compute_dtype) for r in raw]
             boxes = decode_raw_all(
                 raw, scaled_anchors, grid_sizes, self.model.cfg.num_classes
             )

@@ -32,8 +32,6 @@ PlanRoute, PlanUpsample (darknet53 + tiny). CSP plans raise (stay bf16).
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,48 +60,56 @@ def _wq(w) -> tuple:
 
 
 def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
-    """Run the bf16 folded walk over a representative batch and record each
-    int8 tensor's max-abs, in the exact order `apply_inference_int8`
-    consumes them. Returns a tuple of per-tensor scales (max/127)."""
+    """Record each int8 tensor's max-abs over a representative batch, in the
+    exact order `apply_inference_int8` consumes them. ONE jitted device
+    program returning the stacked maxes (never walk the model eagerly over
+    the TPU tunnel — repo rule) and one host transfer.
+    Returns a tuple of per-tensor scales (max/127)."""
     act = get_activation(activation)
-    x = jnp.asarray(x_calib, jnp.float32)
-    maxes: List[float] = []
 
-    def rec(t):
-        maxes.append(float(jnp.max(jnp.abs(t))))
-        return t
+    def walk(folded_t, x):
+        maxes = []
 
-    def conv(p, t, kernel, stride):
-        pad = 1 if kernel == 3 else 0
-        return act(conv2d(t, p["w"].astype(t.dtype), stride, pad) + p["b"])
+        def rec(t):
+            maxes.append(jnp.max(jnp.abs(t)).astype(jnp.float32))
+            return t
 
-    routes = []
-    for entry, p in zip(plan, folded):
-        if isinstance(entry, PlanConv):
-            x = rec(conv(p["conv"], x, entry.kernel, entry.stride))
-        elif isinstance(entry, PlanResidual):
-            for bp in p["blocks"]:
-                y = rec(conv(bp["conv1"], x, 1, 1))
-                y = conv(bp["conv2"], y, 3, 1)
-                x = rec(x + y if entry.use_residual else y)
-            if entry.save_route:
+        def conv(p, t, kernel, stride):
+            pad = 1 if kernel == 3 else 0
+            return act(conv2d(t, p["w"].astype(t.dtype), stride, pad) + p["b"])
+
+        routes = []
+        for entry, p in zip(plan, folded_t):
+            if isinstance(entry, PlanConv):
+                x = rec(conv(p["conv"], x, entry.kernel, entry.stride))
+            elif isinstance(entry, PlanResidual):
+                for bp in p["blocks"]:
+                    y = rec(conv(bp["conv1"], x, 1, 1))
+                    y = conv(bp["conv2"], y, 3, 1)
+                    x = rec(x + y if entry.use_residual else y)
+                if entry.save_route:
+                    routes.append(x)
+            elif isinstance(entry, PlanHead):
+                pass  # heads run bf16; no int8 tensors
+            elif isinstance(entry, PlanMaxPool):
+                x = maxpool2d(x, entry.kernel, entry.stride)  # scale-preserving
+            elif isinstance(entry, PlanRoute):
                 routes.append(x)
-        elif isinstance(entry, PlanHead):
-            pass  # heads run bf16; no int8 tensors
-        elif isinstance(entry, PlanMaxPool):
-            x = maxpool2d(x, entry.kernel, entry.stride)  # scale-preserving
-        elif isinstance(entry, PlanRoute):
-            routes.append(x)
-        elif isinstance(entry, PlanUpsample):
-            x = rec(
-                jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
-            )
-        else:
-            raise ValueError(
-                f"int8 quantization does not support {type(entry).__name__} "
-                "(CSP plans stay bf16)"
-            )
-    return tuple(max(m, 1e-12) / 127.0 for m in maxes)
+            elif isinstance(entry, PlanUpsample):
+                x = rec(
+                    jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
+                )
+            else:
+                raise ValueError(
+                    f"int8 quantization does not support {type(entry).__name__} "
+                    "(CSP plans stay bf16)"
+                )
+        return jnp.stack(maxes)
+
+    maxes = np.asarray(
+        jax.jit(walk)(folded, jnp.asarray(x_calib, jnp.float32))
+    )
+    return tuple(float(max(m, 1e-12)) / 127.0 for m in maxes)
 
 
 def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
@@ -130,7 +136,9 @@ def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
             layers.append({"blocks": blocks})
         else:
             layers.append(p)  # heads & weightless entries keep bf16 params
-    return {"layers": layers, "scales": scales}
+    # scales ship as ONE device array (python-float leaves would re-commit
+    # ~100 tiny host scalars to the device on every jitted call)
+    return {"layers": layers, "scales": jnp.asarray(scales, jnp.float32)}
 
 
 def _conv_i8(xq, wq, stride, pad):
@@ -160,8 +168,8 @@ def apply_inference_int8(
     """
     act = get_activation(activation)
     layers = qparams["layers"]
-    scales = list(qparams["scales"])
-    si = iter(range(len(scales)))
+    scales = qparams["scales"]  # (n_tensors,) f32 device array
+    si = iter(range(scales.shape[0]))
 
     xq = _requant(jnp.asarray(x, jnp.float32), INPUT_SCALE)
     s_x = INPUT_SCALE

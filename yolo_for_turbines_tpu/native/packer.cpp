@@ -52,7 +52,6 @@ AxisTab make_axis(int src, int dst) {
 // sampling.
 void letterbox_one(const uint8_t* src, int sh, int sw, float* dst, int size,
                    float pad_value) {
-  const float scale = static_cast<float>(size) / std::max(sh, sw);
   // double + nearbyint (round-half-to-even) to match Python round() in
   // data/augment.py::letterbox_box_geometry -- lround would round half away
   // from zero and misalign image vs box geometry by 1px at exact .5
@@ -196,7 +195,6 @@ void train_augment_one(const uint8_t* src, int sh, int sw, float* dst,
 
   // letterbox geometry (matches letterbox_one / data/augment.py::letterbox;
   // half-to-even in double, see letterbox_one)
-  const float r = static_cast<float>(size) / std::max(sh, sw);
   const double dr = static_cast<double>(size) / std::max(sh, sw);
   const int nh = std::max(1, static_cast<int>(std::nearbyint(sh * dr)));
   const int nw = std::max(1, static_cast<int>(std::nearbyint(sw * dr)));

@@ -276,9 +276,13 @@ def calc_map_device_range(
     ts = jnp.asarray(iou_thresholds, jnp.float32)
     # one compiled program per (num_classes, shapes) -- never dispatch the
     # scan-over-slots eagerly on the TPU tunnel (repo rule: always jit)
-    aps = _jitted_map_range(num_classes)(preds, pred_valid, gts, gt_valid, ts)
+    import numpy as _np
+
+    aps = _np.asarray(  # ONE host transfer for all thresholds (tunnel RTT)
+        _jitted_map_range(num_classes)(preds, pred_valid, gts, gt_valid, ts)
+    )
     out = {f"mAP@{t:g}": float(v) for t, v in zip(iou_thresholds, aps)}
-    out["mAP@[.5:.95]"] = float(jnp.mean(aps))
+    out["mAP@[.5:.95]"] = float(aps.mean())
     return out
 
 

@@ -325,13 +325,16 @@ def tune_model(
                     trial.stopped = True
             results.append(trial)
 
-    succeeded = [t for t in results if t.error is None and t.score > -math.inf]
-    if not succeeded:
+    # a trial that reported valid rung scores before later failing keeps its
+    # best score (matching Ray: partial results count); raise only when NO
+    # trial ever produced a score
+    scored = [t for t in results if t.score > -math.inf]
+    if not scored:
         errs = "; ".join(
             f"trial {t.id}: {t.error}" for t in results if t.error
         )
         raise RuntimeError(f"every HPO trial failed — {errs or 'no results'}")
-    best = max(succeeded, key=lambda t: t.score)
+    best = max(scored, key=lambda t: t.score)
     payload = {"config": best.config, metric: best.score * sched.sign}
     out = Path(model_folder_path)
     out.mkdir(parents=True, exist_ok=True)
