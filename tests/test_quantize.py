@@ -131,3 +131,24 @@ def test_predictor_quantize_end_to_end(mini_folded):
     k_q, m_q = p.predict_batch(x)
     assert np.asarray(k_q).shape == np.asarray(k_f).shape
     assert np.asarray(m_q).dtype == np.asarray(m_f).dtype
+
+
+def test_quantized_sharded_predictor(mini_folded):
+    """int8 params replicate through the shard_map serving path and produce
+    the same results as the single-device int8 path."""
+    from yolo_for_turbines_tpu.inference import Predictor
+    from yolo_for_turbines_tpu.parallel.mesh import create_mesh
+
+    model, folded = mini_folded
+    x = _x((8, 64, 64, 3), 8)
+    p1 = Predictor(model, folded, image_size=64, compute_dtype=jnp.float32)
+    p1.quantize(x)
+    k1, m1 = p1.predict_batch(x)
+    p8 = Predictor(
+        model, folded, image_size=64, compute_dtype=jnp.float32,
+        mesh=create_mesh(),
+    )
+    p8._qparams = p1._qparams
+    k8, m8 = p8.predict_batch(x)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m8))
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k8), rtol=1e-5, atol=1e-6)
