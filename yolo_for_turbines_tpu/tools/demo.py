@@ -53,6 +53,7 @@ def run_cli(argv=None):
             print(f"error: {what} file not found: {path_arg}", file=sys.stderr)
             raise SystemExit(2)
 
+
     class_list = (
         cfg.COCO_LABELS if args.num_classes == cfg.NUM_COCO_CLASSES
         else cfg.TURBINE_LABELS

@@ -61,3 +61,18 @@ class StepTimer:
             "p90_s": float(np.percentile(arr, 90)),
             "p99_s": float(np.percentile(arr, 99)),
         }
+
+
+def enable_compilation_cache(path: str = "/tmp/yolo_for_turbines_tpu_jit_cache"):
+    """Enable JAX's persistent compilation cache (opt-in for CLIs).
+
+    Full-model TPU compiles take ~90-100 s on this class of host; with the
+    cache, every invocation after the first loads the executable from disk
+    instead. OPT-IN, not wired into the CLIs: on remote-compile tunnel
+    setups (the axon dev tunnel) the cache lookup was measured to hang the
+    second invocation; enable only on hosts with local libtpu compilation.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
