@@ -108,9 +108,13 @@ class DataLoader:
             return False
 
         def produce():
-            # any failure (corrupt image, bad label file) must still wake the
-            # consumer: deliver the exception through the queue rather than
-            # dying silently and leaving q.get() blocked forever
+            # any data failure (corrupt image, bad label file) must still
+            # wake the consumer: deliver the exception through the queue
+            # rather than dying silently and leaving q.get() blocked forever.
+            # BaseException (KeyboardInterrupt/SystemExit during interpreter
+            # shutdown) is NOT delivered as a data item — it wakes the
+            # consumer with the end-of-data sentinel and propagates in this
+            # thread, keeping shutdown semantics distinct from data errors.
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for batch in batches:
@@ -119,9 +123,12 @@ class DataLoader:
                         samples = list(pool.map(self.dataset.__getitem__, batch))
                         if not put_or_stop(collate(samples)):
                             return
-            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            except Exception as e:  # re-raised in consumer
                 put_or_stop(e)
                 return
+            except BaseException:
+                put_or_stop(None)
+                raise
             put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True, name="DataLoader-producer")

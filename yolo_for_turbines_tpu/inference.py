@@ -46,8 +46,11 @@ class Predictor:
     ):
         self.model = model
         # keep the caller's full-precision folded tree for quantize() --
-        # int8 scales/codes should not compound bf16 pre-cast rounding
-        self._folded_input = folded_params
+        # int8 scales/codes should not compound bf16 pre-cast rounding.
+        # Held as HOST numpy (not device arrays): a second full-precision
+        # device copy would roughly double weight HBM for a predictor that
+        # may never quantize; jit transfers it on demand when quantize() runs
+        self._folded_input = jax.device_get(folded_params)
         # pre-cast weights to the compute dtype once: halves weight HBM
         # traffic per conv and removes the per-call f32->bf16 cast pass
         self.folded_params = jax.tree_util.tree_map(
