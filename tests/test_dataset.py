@@ -382,3 +382,37 @@ def test_cache_images_hits_and_matches(data_dir):
     # __getitem__ works off the cache
     img, targets = cached[0]
     assert img.shape == (128, 128, 3)
+
+
+def test_cache_images_byte_budget(data_dir):
+    """The cache stops inserting once cache_images_bytes is reached (no
+    eviction), logs one warning, and never exceeds the budget by more than
+    one racing worker's image; uncached images still load correctly."""
+    create_csv_files(
+        data_dir / "images", data_dir / "labels", data_dir, {"train": 1.0}
+    )
+    kw = dict(
+        csv_split_file=data_dir / "train.csv",
+        img_folder=data_dir / "images",
+        annotation_folder=data_dir / "labels",
+        anchors=cfg.ANCHORS,
+        image_size=128,
+        grid_sizes=[4, 8, 16],
+        num_classes=2,
+        transform=test_transforms(128),
+    )
+    one_img = YOLODataset(**kw, cache_images=True).load_image(0).nbytes
+    budget = 2 * one_img + one_img // 2  # room for ~2 images, not 3
+    ds = YOLODataset(**kw, cache_images=True, cache_images_bytes=budget)
+    imgs = [ds.load_image(i) for i in range(len(ds))]
+    assert ds._image_cache_nbytes <= budget
+    assert 0 < len(ds._image_cache) < len(ds)
+    assert ds._cache_full_warned
+    # images past the budget still decode (just uncached)
+    for i, im in enumerate(imgs):
+        np.testing.assert_array_equal(im, ds.load_image(i))
+    # unbounded opt-out caches everything
+    ds_unb = YOLODataset(**kw, cache_images=True, cache_images_bytes=None)
+    for i in range(len(ds_unb)):
+        ds_unb.load_image(i)
+    assert len(ds_unb._image_cache) == len(ds_unb)

@@ -113,6 +113,7 @@ class YOLODataset:
         multi_scale: bool = False,
         seed: int = 0,
         cache_images: bool = False,
+        cache_images_bytes: Optional[int] = 4 << 30,
     ):
         self.annotations = self._read_csv(csv_split_file)
         self.img_folder = Path(img_folder)
@@ -135,12 +136,20 @@ class YOLODataset:
         # Opt-in RAM cache of decoded images: JPEG decode is ~5 ms/img, half
         # the remaining __getitem__ cost on a 1-core host
         # (benchmarks/RESULTS.md "input pipeline") and pure waste after the
-        # first epoch. ~0.9 MB per 640x480 image; caller owns the memory
-        # trade. Cached decodes draft to the LARGEST size the dataset can
-        # be re-bucketed to, so multi-scale up-buckets never upsample a
-        # degraded draft.
+        # first epoch. ~0.9 MB per 640x480 image, and multi-scale caches the
+        # decode drafted to the LARGEST bucket (so up-buckets never upsample
+        # a degraded draft) — worst-case sizing is therefore at
+        # max(MULTI_SCALE_TRAIN_SIZES), not image_size.
+        # `cache_images_bytes` bounds the footprint: once the budget is hit
+        # the cache stops inserting (no eviction — every epoch touches every
+        # image uniformly, so LRU would only thrash) and logs one warning;
+        # already-cached images keep their speedup, the rest decode per
+        # epoch. None = unbounded (explicit caller opt-out).
         self.cache_images = cache_images
+        self.cache_images_bytes = cache_images_bytes
         self._image_cache: dict = {}
+        self._image_cache_nbytes = 0
+        self._cache_full_warned = False
         self.rng = np.random.default_rng(seed)
         # numpy Generators are not thread-safe; loader worker threads draw
         # per-item child generators under this lock (same guarantee as torch
@@ -186,8 +195,24 @@ class YOLODataset:
         img.draft("RGB", (draft, draft))
         arr = np.array(img.convert("RGB"), dtype=np.uint8)
         if self.cache_images:
-            # plain dict store: GIL-atomic; a racing double-decode is benign
-            self._image_cache[idx] = arr
+            budget = self.cache_images_bytes
+            if budget is None or self._image_cache_nbytes + arr.nbytes <= budget:
+                # plain dict store: GIL-atomic; a racing double-decode is
+                # benign (the budget check is advisory under races — the
+                # overshoot is bounded by num_workers images)
+                self._image_cache[idx] = arr
+                self._image_cache_nbytes += arr.nbytes
+            elif not self._cache_full_warned:
+                self._cache_full_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "image cache budget reached (%d bytes over %d images); "
+                    "further images decode per epoch "
+                    "(raise cache_images_bytes to cache the whole set)",
+                    self._image_cache_nbytes,
+                    len(self._image_cache),
+                )
         return arr
 
     def load_boxes(self, label_path: Path) -> np.ndarray:
