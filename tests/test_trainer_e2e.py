@@ -232,3 +232,102 @@ def test_device_map_matches_host_eval(synth_data):
         compute_dtype=jnp.float32,
     )
     assert dev == pytest.approx(host, abs=1e-5)
+
+
+class _CountingLoader:
+    """Wraps a DataLoader and counts full traversals (__iter__ calls)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self.iters = 0
+
+    def __iter__(self):
+        self.iters += 1
+        return iter(self.loader)
+
+    def __len__(self):
+        return len(self.loader)
+
+
+class _ListLogger:
+    def __init__(self):
+        self.rows = []
+
+    def log(self, d):
+        self.rows.append(dict(d))
+
+
+def test_fused_eval_matches_three_pass(synth_data):
+    """The fused eval epoch (one jitted program, ONE loader traversal) must
+    reproduce the separate three-pass metrics exactly: per-component val
+    loss, class/obj/noobj accuracies, and device mAP."""
+    import jax
+    import jax.numpy as jnp
+
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+    from yolo_for_turbines_tpu.data.loader import get_loaders
+    from yolo_for_turbines_tpu.train.evaluate import (
+        check_model_accuracy,
+        evaluate_map_device,
+    )
+
+    tc = TrainConfig(
+        lr=1e-3, batch_size=4, max_num_steps=10, warmup_enabled=False,
+        multi_scale=False, image_size=64, compute_dtype="float32",
+    )
+    model_cfg = ModelConfig(num_classes=2, layer_config=MINI_LAYERS)
+    trainer = trainer_mod.Trainer(tc, model_cfg=model_cfg)
+    _, val_loader, _ = get_loaders(
+        synth_data, batch_size=4, anchors=trainer.anchors, train=True,
+        image_folder=synth_data / "images",
+        annotation_folder=synth_data / "labels",
+        num_workers=2, image_size=64,
+    )
+
+    counting = _CountingLoader(val_loader)
+    logger = _ListLogger()
+    val_loss, mAP = trainer.val_one_epoch(counting, epoch=9, logger=logger)
+    assert counting.iters == 1, "fused eval must traverse the loader once"
+    logged = {}
+    for row in logger.rows:
+        logged.update(row)
+
+    # three-pass reference (the pre-fusion shape)
+    tots, n = {}, 0
+    for x, y in val_loader:
+        anchors = trainer_mod.scaled_anchors_for(
+            trainer.anchors, x.shape[1], trainer.model.strides
+        )
+        metrics = trainer.eval_step(trainer.state, x, y, anchors)
+        for k, v in metrics.items():
+            tots[k] = tots.get(k, 0.0) + float(v)
+        n += 1
+    ref_loss = tots["loss"] / n
+    class_acc, noobj_acc, obj_acc = check_model_accuracy(
+        val_loader, trainer.model, trainer.state, cfg.CONF_THRESHOLD,
+        compute_dtype=jnp.float32,
+    )
+    ref_map = evaluate_map_device(
+        val_loader, trainer.model, trainer.state, trainer.anchors,
+        num_classes=2, compute_dtype=jnp.float32,
+    )
+
+    assert val_loss == pytest.approx(ref_loss, rel=1e-5)
+    assert logged["class_accuracy"] == pytest.approx(class_acc, abs=1e-6)
+    assert logged["noobj_accuracy"] == pytest.approx(noobj_acc, abs=1e-6)
+    assert logged["obj_accuracy"] == pytest.approx(obj_acc, abs=1e-6)
+    assert mAP == pytest.approx(ref_map, abs=1e-5)
+    # host-eval path agrees too
+    trainer_host = trainer_mod.Trainer(
+        TrainConfig(
+            lr=1e-3, batch_size=4, max_num_steps=10, warmup_enabled=False,
+            multi_scale=False, image_size=64, compute_dtype="float32",
+            device_eval=False,
+        ),
+        model_cfg=model_cfg,
+    )
+    trainer_host.state = trainer.state
+    counting2 = _CountingLoader(val_loader)
+    _, host_map = trainer_host.val_one_epoch(counting2, epoch=9, logger=_ListLogger())
+    assert counting2.iters == 1
+    assert host_map == pytest.approx(ref_map, abs=1e-5)

@@ -25,6 +25,7 @@ from .. import config as cfg
 from ..ops.decode import decode_all_scales, decode_scale
 from ..ops.map import calc_map, calc_map_device_batched
 from ..ops.nms import batched_nms
+from .loss import total_yolo_loss
 
 # One process-wide executable per (I, K, G, threshold, classes) shape combo.
 _jitted_map_batched = jax.jit(
@@ -76,6 +77,77 @@ def make_eval_boxes_step(
     return step
 
 
+@functools.lru_cache(maxsize=16)
+def make_fused_eval_step(
+    model,
+    object_threshold: float = cfg.CONF_THRESHOLD,
+    compute_dtype=jnp.bfloat16,
+    max_boxes: int = 256,
+    max_gt: int = 128,
+):
+    """ONE jitted program per batch for the every-10th-epoch eval: forward
+    once, then (a) the 4-term val loss, (b) accuracy counts, (c) decode +
+    NMS survivors + top-k GT — everything `val_one_epoch`'s three consumers
+    need (reference seam: code/utils.py:276-381 + code/train.py:94-156).
+
+    The previous shape ran THREE loader traversals with three compiled
+    programs (loss loop, check_model_accuracy, evaluate_map_device); on a
+    1-core host each traversal re-pays the full decode/augment cost of the
+    val set, and each program re-runs the same forward. This step returns
+    (metrics dict, counts (6,), kept (B,K,6), mask (B,K), true (B,G,6)) so
+    one traversal feeds all three. Cached on (model, threshold, dtype, K, G)
+    like make_eval_boxes_step.
+    """
+    strides = model.strides
+
+    @functools.partial(jax.jit, static_argnames=("image_size",))
+    def step(params, batch_stats, images, targets, anchors, *, image_size):
+        grid_sizes = cfg.grid_sizes_for(image_size, strides)
+        scaled = jnp.asarray(anchors, jnp.float32) * jnp.asarray(
+            grid_sizes, jnp.float32
+        ).reshape(-1, 1, 1)
+        preds, _ = model.apply(
+            params, batch_stats, images, train=False, compute_dtype=compute_dtype
+        )
+        total, comps = total_yolo_loss(preds, targets, scaled)
+        metrics = dict(comps)
+        metrics["loss"] = total
+        counts = _accuracy_counts(preds, targets, object_threshold)
+        boxes = decode_all_scales(preds, scaled, grid_sizes)
+        kept, mask = batched_nms(
+            boxes,
+            iou_threshold=cfg.NMS_IOU_THRESHOLD,
+            obj_threshold=cfg.CONF_THRESHOLD,
+            max_boxes=max_boxes,
+        )
+        true = decode_scale(
+            targets[-1], scaled[-1], grid_sizes[-1], is_pred=False
+        )
+        k = min(max_gt, true.shape[1])
+        _, idx = jax.lax.top_k(true[..., 4], k)
+        true = jnp.take_along_axis(true, idx[..., None], axis=1)
+        return metrics, counts, kept, mask, true
+
+    return step
+
+
+def rows_from_eval_step(kept, mask, true, start_idx: int, obj_threshold: float):
+    """Convert one batch's device eval output to host prediction/GT rows
+    [image_id, cx, cy, w, h, score, class] (the host-mAP input format)."""
+    preds_rows: List[List[float]] = []
+    true_rows: List[List[float]] = []
+    kept, mask, true = jax.device_get((kept, mask, true))
+    idx = start_idx
+    for b in range(kept.shape[0]):
+        for row in kept[b][mask[b]]:
+            preds_rows.append([idx] + row.tolist())
+        tb = true[b]
+        for row in tb[tb[:, 4] > obj_threshold]:
+            true_rows.append([idx] + row.tolist())
+        idx += 1
+    return preds_rows, true_rows, idx
+
+
 def get_eval_boxes(
     loader,
     model,
@@ -101,15 +173,37 @@ def get_eval_boxes(
             np.asarray(anchors, np.float32),
             image_size=images.shape[1],
         )
-        kept, mask, true = jax.device_get((kept, mask, true))
-        for b in range(kept.shape[0]):
-            for row in kept[b][mask[b]]:
-                all_preds.append([data_idx] + row.tolist())
-            tb = true[b]
-            for row in tb[tb[:, 4] > obj_threshold]:
-                all_true.append([data_idx] + row.tolist())
-            data_idx += 1
+        p_rows, t_rows, data_idx = rows_from_eval_step(
+            kept, mask, true, data_idx, obj_threshold
+        )
+        all_preds.extend(p_rows)
+        all_true.extend(t_rows)
     return all_preds, all_true
+
+
+def _accuracy_counts(preds, targets, object_threshold: float):
+    """Per-batch class/obj/noobj correctness counts, (6,) f32
+    (parity with reference code/utils.py:334-381). Shared by the standalone
+    counter and the fused eval step so the two paths are the same math."""
+    counts = jnp.zeros((6,), jnp.float32)
+    for p, t in zip(preds, targets):
+        obj = t[..., 4] == 1
+        noobj = t[..., 4] == 0
+        correct_class = (jnp.argmax(p[..., 5:], axis=-1) == t[..., 5]) & obj
+        obj_pred = jax.nn.sigmoid(p[..., 4]) > object_threshold
+        correct_obj = (obj_pred == (t[..., 4] == 1)) & obj
+        correct_noobj = (obj_pred == (t[..., 4] == 1)) & noobj
+        counts = counts + jnp.stack(
+            [
+                jnp.sum(correct_class),
+                jnp.sum(obj),
+                jnp.sum(correct_obj),
+                jnp.sum(obj),
+                jnp.sum(correct_noobj),
+                jnp.sum(noobj),
+            ]
+        ).astype(jnp.float32)
+    return counts
 
 
 @functools.lru_cache(maxsize=16)
@@ -122,25 +216,7 @@ def _make_accuracy_counts(model, object_threshold: float, compute_dtype):
         preds, _ = model.apply(
             params, batch_stats, images, train=False, compute_dtype=compute_dtype
         )
-        counts = jnp.zeros((6,), jnp.float32)
-        for p, t in zip(preds, targets):
-            obj = t[..., 4] == 1
-            noobj = t[..., 4] == 0
-            correct_class = (jnp.argmax(p[..., 5:], axis=-1) == t[..., 5]) & obj
-            obj_pred = jax.nn.sigmoid(p[..., 4]) > object_threshold
-            correct_obj = (obj_pred == (t[..., 4] == 1)) & obj
-            correct_noobj = (obj_pred == (t[..., 4] == 1)) & noobj
-            counts = counts + jnp.stack(
-                [
-                    jnp.sum(correct_class),
-                    jnp.sum(obj),
-                    jnp.sum(correct_obj),
-                    jnp.sum(obj),
-                    jnp.sum(correct_noobj),
-                    jnp.sum(noobj),
-                ]
-            ).astype(jnp.float32)
-        return counts
+        return _accuracy_counts(preds, targets, object_threshold)
 
     return batch_counts
 
@@ -176,9 +252,12 @@ def evaluate_map(
     anchors,
     num_classes: int,
     map_iou_threshold: float = cfg.MAP_IOU_THRESHOLD,
+    compute_dtype=jnp.bfloat16,
 ) -> float:
     """Full eval: boxes on device, mAP aggregation on host."""
-    preds, trues = get_eval_boxes(loader, model, state, anchors)
+    preds, trues = get_eval_boxes(
+        loader, model, state, anchors, compute_dtype=compute_dtype
+    )
     return calc_map(
         preds, trues, iou_threshold=map_iou_threshold,
         box_format="center", num_classes=num_classes,

@@ -39,7 +39,7 @@ from ..models.darknet_weights import load_darknet_weights
 from ..models.yolov3 import YOLOv3
 from ..parallel.mesh import create_mesh, shard_batch
 from .checkpoint import load_checkpoint, save_checkpoint
-from .evaluate import check_model_accuracy, evaluate_map
+from .evaluate import evaluate_map
 from .metrics import MetricsLogger
 from .steps import TrainState, create_train_state, make_eval_step, make_train_step
 
@@ -195,54 +195,126 @@ class Trainer:
         logger.log(avg)
         return avg.get("train_loss", 0.0)
 
+    @property
+    def _compute_dtype(self):
+        return (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+
     def val_one_epoch(self, val_loader, epoch, logger):
-        tots = {}
+        if (epoch + 1) % 10 != 0:
+            # plain epochs: loss-only pass
+            tots = {}
+            n = 0
+            for x, y in val_loader:
+                anchors = scaled_anchors_for(
+                    self.anchors, x.shape[1], self.model.strides
+                )
+                x, y = self._put(x, y, shard=False)
+                metrics = self.eval_step(self.state, x, y, anchors)
+                for k, v in metrics.items():
+                    tots[k] = tots.get(k, 0.0) + float(v)
+                n += 1
+            avg = {f"val_{k}": v / max(n, 1) for k, v in tots.items()}
+            logger.log(avg)
+            return avg.get("val_loss", 0.0), None
+
+        # every-10th-epoch eval: ONE fused pass over the val set. Forward
+        # runs once per batch and feeds loss, accuracy counters, and
+        # decode/NMS/mAP together — the previous shape traversed the loader
+        # three times with three compiled programs (3x the host-side
+        # decode/augment cost on a 1-core host). Eval helpers share the
+        # trainer's compute dtype so train/val loss and mAP never disagree
+        # in precision.
+        from .evaluate import (
+            _jitted_map_batched,
+            make_fused_eval_step,
+            rows_from_eval_step,
+        )
+
+        step = make_fused_eval_step(
+            self.model, cfg.CONF_THRESHOLD, self._compute_dtype
+        )
+        anchors = np.asarray(self.anchors, np.float32)
+        dev_tots = None
+        dev_counts = None
         n = 0
+        # device-eval accumulators (arrays stay on device until the final
+        # scalar mAP) vs host-eval row lists (reference-exact calc_map)
+        pred_rows, pred_ok, true_rows, true_ok = [], [], [], []
+        host_preds, host_trues = [], []
+        data_idx = 0
         for x, y in val_loader:
-            anchors = scaled_anchors_for(
-                self.anchors, x.shape[1], self.model.strides
-            )
             x, y = self._put(x, y, shard=False)
-            metrics = self.eval_step(self.state, x, y, anchors)
-            for k, v in metrics.items():
-                tots[k] = tots.get(k, 0.0) + float(v)
+            metrics, counts, kept, mask, true = step(
+                self.state.params,
+                self.state.batch_stats,
+                x,
+                tuple(y),
+                anchors,
+                image_size=x.shape[1],
+            )
+            dev_tots = (
+                metrics
+                if dev_tots is None
+                else jax.tree_util.tree_map(jnp.add, dev_tots, metrics)
+            )
+            dev_counts = counts if dev_counts is None else dev_counts + counts
             n += 1
+            if self.cfg.device_eval:
+                pred_rows.append(kept)
+                pred_ok.append(mask)
+                true_rows.append(true)
+                true_ok.append(true[..., 4] > cfg.CONF_THRESHOLD)
+            else:
+                p, t, data_idx = rows_from_eval_step(
+                    kept, mask, true, data_idx, cfg.CONF_THRESHOLD
+                )
+                host_preds.extend(p)
+                host_trues.extend(t)
+
+        tots = (
+            {k: float(v) for k, v in dev_tots.items()} if dev_tots else {}
+        )
         avg = {f"val_{k}": v / max(n, 1) for k, v in tots.items()}
         logger.log(avg)
 
-        mAP = None
-        if (epoch + 1) % 10 == 0:
-            class_acc, noobj_acc, obj_acc = check_model_accuracy(
-                val_loader, self.model, self.state, cfg.CONF_THRESHOLD
-            )
-            if self.cfg.device_eval:
-                from .evaluate import evaluate_map_device
+        counts = np.asarray(dev_counts) if dev_counts is not None else np.zeros(6)
+        class_acc = float(counts[0] / (counts[1] + 1e-16))
+        obj_acc = float(counts[2] / (counts[3] + 1e-16))
+        noobj_acc = float(counts[4] / (counts[5] + 1e-16))
 
-                mAP = evaluate_map_device(
-                    val_loader,
-                    self.model,
-                    self.state,
-                    self.anchors,
+        if self.cfg.device_eval:
+            mAP = float(
+                _jitted_map_batched(
+                    jnp.concatenate(pred_rows),
+                    jnp.concatenate(pred_ok),
+                    jnp.concatenate(true_rows),
+                    jnp.concatenate(true_ok),
+                    iou_threshold=cfg.MAP_IOU_THRESHOLD,
                     num_classes=self.model_cfg.num_classes,
                 )
-            else:
-                mAP = evaluate_map(
-                    val_loader,
-                    self.model,
-                    self.state,
-                    self.anchors,
-                    num_classes=self.model_cfg.num_classes,
-                )
-            logger.log(
-                {
-                    "class_accuracy": class_acc,
-                    "noobj_accuracy": noobj_acc,
-                    "obj_accuracy": obj_acc,
-                    "mAP": mAP,
-                }
             )
-            if self.report_callback is not None:
-                self.report_callback({"mAP": mAP})
+        else:
+            from ..ops.map import calc_map
+
+            mAP = calc_map(
+                host_preds,
+                host_trues,
+                iou_threshold=cfg.MAP_IOU_THRESHOLD,
+                box_format="center",
+                num_classes=self.model_cfg.num_classes,
+            )
+        logger.log(
+            {
+                "class_accuracy": class_acc,
+                "noobj_accuracy": noobj_acc,
+                "obj_accuracy": obj_acc,
+                "mAP": mAP,
+            }
+        )
+        if self.report_callback is not None:
+            self.report_callback({"mAP": mAP})
         return avg.get("val_loss", 0.0), mAP
 
 
@@ -428,11 +500,18 @@ def train(
     start = time.time()
     ckpt_path = Path(model_folder_path) / f"best_model_{identifier}.ckpt"
 
-    while epoch < num_epochs and early_stop > 0:
+    # the step cap also gates the epoch loop: a RESUMED state starts at its
+    # checkpointed step, so without this a resume would spin through the
+    # remaining epochs as empty train passes (one device sync per epoch)
+    while (
+        epoch < num_epochs
+        and early_stop > 0
+        and int(trainer.state.step) < tc.max_num_steps
+    ):
+        # train_one_epoch / val_one_epoch already log train_/val_ metric
+        # averages; logging the scalars again here would duplicate JSONL rows
         train_loss = trainer.train_one_epoch(train_ds, train_loader, logger)
-        logger.log({"train_loss": train_loss})
         val_loss, mAP = trainer.val_one_epoch(val_loader, epoch, logger)
-        logger.log({"val_loss": val_loss})
         if mAP is not None:
             if mAP > best_map:
                 best_map, best_state = mAP, jax.device_get(trainer.state)
