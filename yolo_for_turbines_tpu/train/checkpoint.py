@@ -35,13 +35,17 @@ def load_checkpoint(
     state: TrainState, filename, lr_override: Optional[float] = None
 ) -> TrainState:
     """Restore into the template TrainState's structure
-    (reference: code/utils.py:398-416). lr_override is accepted for API
-    parity; with optax the lr lives in the schedule, so the caller applies it
-    by rebuilding the optimizer from its TrainConfig."""
+    (reference: code/utils.py:398-416). lr_override forces the restored
+    schedule's peak lr (TrainState.hyper["lr"]) — the literal analogue of
+    the reference forcing lr into the optimizer param groups on load."""
     import orbax.checkpoint as ocp
 
     path = Path(filename).absolute()
     with ocp.PyTreeCheckpointer() as ckptr:
         template = jax.device_get(state._asdict())
         restored = ckptr.restore(path, item=template)
+    if lr_override is not None:
+        restored["hyper"] = dict(
+            restored["hyper"], lr=jax.numpy.asarray(lr_override, "float32")
+        )
     return TrainState(**restored)

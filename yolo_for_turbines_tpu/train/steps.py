@@ -21,6 +21,7 @@ One compiled executable exists per image-size bucket (multi-scale training's
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -33,12 +34,19 @@ from .loss import total_yolo_loss
 
 
 class TrainState(NamedTuple):
-    """Replicated training state (a pytree; donated through train_step)."""
+    """Replicated training state (a pytree; donated through train_step).
+
+    `hyper` carries the trial's schedule parameters as TRACED scalars
+    ({lr, warmup_steps, total_steps, use_cosine}); together with the
+    momentum/weight-decay values injected into `opt_state` (see
+    `make_optimizer`), no trial-specific number is baked into the compiled
+    step — one executable serves every same-architecture HPO trial."""
 
     params: Any
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    hyper: Any
 
 
 def warmup_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -63,23 +71,110 @@ def warmup_schedule(cfg: TrainConfig) -> optax.Schedule:
     )
 
 
+def _sgd_builder(learning_rate, momentum, weight_decay):
+    """torch-SGD semantics: grad += wd * param BEFORE the momentum buffer
+    (reference code/train.py:171-172). Called by inject_hyperparams at every
+    update with the values stored in opt_state.hyperparams — so momentum and
+    weight decay are TRACED, not baked into the compiled step."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate, momentum=momentum),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_tx(mask_key) -> optax.GradientTransformation:
+    """One shared GradientTransformation per frozen-mask pattern.
+
+    learning_rate is pinned to 1.0 (the step scales updates by the traced
+    scheduled lr afterwards — sgd(1.0) returns exactly -momentum_buffer);
+    momentum/weight_decay placeholders are overwritten per trial at init
+    (`_set_injected_hyperparams`). Sharing the tx OBJECT is what lets
+    `make_train_step`'s cache key match across HPO trials, so trial 2
+    reuses trial 1's compiled executable instead of paying ~90-100 s/bucket
+    of TPU compilation (benchmarks/RESULTS.md)."""
+    tx = optax.inject_hyperparams(_sgd_builder)(
+        learning_rate=1.0, momentum=0.0, weight_decay=0.0
+    )
+    if mask_key is not None:
+        treedef, leaves = mask_key
+        mask = jax.tree_util.tree_unflatten(treedef, list(leaves))
+        # mask AFTER the sgd chain: zeroing only the incoming grads would
+        # still let add_decayed_weights move frozen leaves by -lr*wd*p;
+        # torch's requires_grad=False skips the whole update (reference
+        # code/model.py:306-309), so the final update must be exactly 0
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+    return tx
+
+
+def _inject_state(opt_state):
+    """Find the InjectHyperparamsState inside a possibly-chained opt state."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    for sub in opt_state:
+        if hasattr(sub, "hyperparams"):
+            return sub
+    raise ValueError("no InjectHyperparamsState in optimizer state")
+
+
+def _set_injected_hyperparams(opt_state, cfg: TrainConfig):
+    """Write the trial's momentum/weight decay into opt_state.hyperparams
+    (host-side, at state creation; the values ride the state pytree as
+    traced scalars thereafter)."""
+    hp = _inject_state(opt_state).hyperparams
+    hp["momentum"] = jnp.asarray(cfg.momentum, jnp.float32)
+    hp["weight_decay"] = jnp.asarray(cfg.weight_decay, jnp.float32)
+    return opt_state
+
+
 def make_optimizer(
     cfg: TrainConfig, frozen_mask=None
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
-    """SGD + momentum + coupled weight decay (torch SGD semantics:
-    grad += wd * param before the momentum buffer; reference
-    code/train.py:171-172), with optional frozen-leaf masking."""
+    """SGD + momentum + coupled weight decay with optional frozen-leaf
+    masking. The returned tx is hyperparameter-agnostic (shared across
+    configs; see _cached_tx) — per-trial values are injected into the
+    opt_state by create_train_state."""
     schedule = warmup_schedule(cfg)
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(schedule, momentum=cfg.momentum),
-    )
+    mask_key = None
     if frozen_mask is not None and any(jax.tree_util.tree_leaves(frozen_mask)):
-        tx = optax.chain(
-            optax.masked(optax.set_to_zero(), frozen_mask),
-            tx,
-        )
-    return tx, schedule
+        leaves, treedef = jax.tree_util.tree_flatten(frozen_mask)
+        mask_key = (treedef, tuple(bool(x) for x in leaves))
+    return _cached_tx(mask_key), schedule
+
+
+def hyper_from_config(cfg: TrainConfig) -> Dict[str, jnp.ndarray]:
+    """Schedule parameters as traced scalars (TrainState.hyper): the jitted
+    step evaluates the warmup/cosine schedule from these + state.step, so lr
+    never enters the compiled code as a constant."""
+    warmup_steps = (
+        max(1, int(cfg.max_num_steps * cfg.warmup)) if cfg.warmup_enabled else 0
+    )
+    return {
+        "lr": jnp.asarray(cfg.lr, jnp.float32),
+        "warmup_steps": jnp.asarray(warmup_steps, jnp.float32),
+        "total_steps": jnp.asarray(cfg.max_num_steps, jnp.float32),
+        # matches warmup_schedule: decay_lr only applies when warmup is on
+        "use_cosine": jnp.asarray(
+            1.0 if (cfg.decay_lr and cfg.warmup_enabled) else 0.0, jnp.float32
+        ),
+    }
+
+
+def scheduled_lr(step, hyper):
+    """Traced twin of `warmup_schedule`: linear warmup from 1e-6*lr to lr
+    over warmup_steps, then constant or cosine decay to 0 at total_steps.
+    Numerically identical to the optax schedules (tests/test_train.py)."""
+    stepf = step.astype(jnp.float32)
+    lr_peak = hyper["lr"]
+    ws = hyper["warmup_steps"]
+    frac = jnp.minimum(stepf / jnp.maximum(ws, 1.0), 1.0)
+    lr_warm = lr_peak * (1e-6 + (1.0 - 1e-6) * frac)
+    t = jnp.clip(
+        (stepf - ws) / jnp.maximum(hyper["total_steps"] - ws, 1.0), 0.0, 1.0
+    )
+    lr_cos = lr_peak * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    lr_after = jnp.where(hyper["use_cosine"] > 0, lr_cos, lr_peak)
+    return jnp.where(stepf < ws, lr_warm, lr_after)
 
 
 def create_train_state(
@@ -95,19 +190,39 @@ def create_train_state(
         is_leaf=lambda x: x is None,
     )
     tx, schedule = make_optimizer(cfg, frozen_mask)
-    opt_state = tx.init(params)
-    state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+    opt_state = _set_injected_hyperparams(tx.init(params), cfg)
+    state = TrainState(
+        params,
+        batch_stats,
+        opt_state,
+        jnp.zeros((), jnp.int32),
+        hyper_from_config(cfg),
+    )
     return state, tx, schedule
 
 
 def make_train_step(model: YOLOv3, tx, cfg: TrainConfig, mesh=None):
-    """Build the jitted train step.
+    """Build (or fetch) the jitted train step.
 
     Signature: step(state, images, targets3, scaled_anchors) ->
     (state, metrics dict). When a mesh is given, inputs are expected sharded
     on the "data" axis and the state replicated (pjit-style annotations).
+
+    Cached on (model, tx, compute_dtype, mesh): lr/momentum/weight_decay
+    live in the TRACED state (TrainState.hyper + opt_state.hyperparams), so
+    two Trainers differing only in those values return the SAME jitted
+    function object and share its compiled executables — a 16-trial HPO
+    search compiles once, not 16 times (reference seam:
+    code/train.py:241-284 runs full Ray trials that each re-warm CUDA).
     """
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return _cached_train_step(model, tx, cfg.compute_dtype, mesh)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
 
     def step(state: TrainState, images, targets, scaled_anchors):
         def loss_fn(params):
@@ -124,9 +239,15 @@ def make_train_step(model: YOLOv3, tx, cfg: TrainConfig, mesh=None):
         (total, (new_stats, comps)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # tx runs at lr=1.0 (updates == -momentum_buffer); scale by the
+        # schedule evaluated in-trace so lr is data, not compiled constant
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        lr = scheduled_lr(state.step, state.hyper)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        new_state = TrainState(
+            params, new_stats, opt_state, state.step + 1, state.hyper
+        )
         metrics = dict(comps)
         metrics["loss"] = total
         return new_state, metrics
@@ -147,8 +268,15 @@ def make_train_step(model: YOLOv3, tx, cfg: TrainConfig, mesh=None):
 
 def make_eval_step(model: YOLOv3, cfg: TrainConfig, mesh=None):
     """Jitted forward + loss (no grad) for validation epochs
-    (reference: code/train.py:94-156)."""
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    (reference: code/train.py:94-156). Cached like make_train_step."""
+    return _cached_eval_step(model, cfg.compute_dtype, mesh)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
+    compute_dtype = (
+        jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    )
 
     def step(state: TrainState, images, targets, scaled_anchors):
         preds, _ = model.apply(
