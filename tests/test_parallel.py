@@ -177,3 +177,120 @@ def test_sharded_predictor_multislice_mesh(rng):
     np.testing.assert_allclose(
         np.asarray(k1), np.asarray(km), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.fixture(scope="module")
+def dp_synth_data(tmp_path_factory):
+    from PIL import Image
+
+    from yolo_for_turbines_tpu.data.splits import create_csv_files
+
+    root = tmp_path_factory.mktemp("dp_synth")
+    img_dir, lbl_dir = root / "images", root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    gen = np.random.default_rng(11)
+    for i in range(24):
+        img = gen.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+        img[16:48, 16:48] = [255, 0, 0] if i % 2 == 0 else [0, 255, 0]
+        Image.fromarray(img).save(img_dir / f"im{i}.png")
+        np.savetxt(
+            lbl_dir / f"im{i}.txt",
+            np.array([[i % 2, 0.5, 0.5, 0.5, 0.5]]),
+            fmt="%.6f",
+        )
+    create_csv_files(img_dir, lbl_dir, root, {"train": 0.75, "val": 0.25})
+    return root
+
+
+class _ListLoader:
+    """Replays pre-materialized batches: both trainers see IDENTICAL data
+    (live loaders re-draw augmentation rngs per traversal)."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+class _SinkLogger:
+    def __init__(self):
+        self.rows = []
+
+    def log(self, d):
+        self.rows.append(dict(d))
+
+
+def test_trainer_dp_end_to_end(dp_synth_data):
+    """The LAST untested seam of component #27: Trainer.train_one_epoch's
+    sharded prefetch_to_device path + val epoch + device mAP under a real
+    8-device mesh must match the single-device trainer (VERDICT round-2
+    item 4). Covers: mesh-sharded host->HBM placement, DP gradient
+    all-reduce through two full epochs, then the fused eval epoch."""
+    from yolo_for_turbines_tpu import config as cfg_mod
+    from yolo_for_turbines_tpu.data.loader import get_loaders
+    from yolo_for_turbines_tpu.train.trainer import Trainer
+
+    tc = TrainConfig(
+        lr=2e-4, batch_size=8, max_num_steps=100, warmup_enabled=False,
+        multi_scale=False, image_size=64, compute_dtype="float32",
+    )
+    model_cfg = ModelConfig(num_classes=2, layer_config=__import__("helpers").MINI_LAYERS)
+
+    train_loader, val_loader, train_ds = get_loaders(
+        dp_synth_data, batch_size=8, anchors=cfg_mod.TURBINE_ANCHORS,
+        train=True, image_folder=dp_synth_data / "images",
+        annotation_folder=dp_synth_data / "labels", num_workers=2,
+        image_size=64,
+    )
+    # materialize so both trainers consume bit-identical batches
+    batches = list(train_loader)
+    val_batches = _ListLoader(list(val_loader))
+    assert len(batches) >= 2
+
+    t1 = Trainer(tc, model_cfg=model_cfg, mesh=create_mesh(1))
+    t8 = Trainer(tc, model_cfg=model_cfg, mesh=create_mesh(8))
+    # identical seeds -> identical init
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t8.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # epoch 1 = ONE step, so the epoch loss IS the first-step loss and must
+    # match tightly (all-reduced grads + global batch stats == single
+    # device; the step-level tight test above bounds this seam at ~1e-4)
+    log1, log8 = _SinkLogger(), _SinkLogger()
+    loss1 = t1.train_one_epoch(train_ds, _ListLoader(batches[:1]), log1)
+    loss8 = t8.train_one_epoch(train_ds, _ListLoader(batches[:1]), log8)
+    assert loss8 == pytest.approx(loss1, rel=1e-3)
+
+    # epoch 2 exercises the sharded-prefetch steady state; by now the
+    # single-pass-BN reassociation noise (different reduction orders in the
+    # two compiled programs) has amplified chaotically on near-zero stem
+    # betas, so element-wise parity is meaningless — assert GLOBAL parity:
+    # the two parameter vectors stay nearly parallel. A wiring bug (dropped
+    # shard, wrong axis) collapses the cosine far below this
+    t1.train_one_epoch(train_ds, _ListLoader(batches[1:2]), log1)
+    t8.train_one_epoch(train_ds, _ListLoader(batches[1:2]), log8)
+    v1 = np.concatenate([
+        np.asarray(x, np.float64).ravel()
+        for x in jax.tree_util.tree_leaves(t1.state.params)
+    ])
+    v8 = np.concatenate([
+        np.asarray(x, np.float64).ravel()
+        for x in jax.tree_util.tree_leaves(t8.state.params)
+    ])
+    cos = v1 @ v8 / (np.linalg.norm(v1) * np.linalg.norm(v8))
+    assert cos > 0.9999, cos
+    assert np.linalg.norm(v1 - v8) / np.linalg.norm(v1) < 1e-2
+
+    # eval epoch (fused pass + device mAP) on both trainers
+    vloss1, map1 = t1.val_one_epoch(val_batches, epoch=9, logger=log1)
+    vloss8, map8 = t8.val_one_epoch(val_batches, epoch=9, logger=log8)
+    assert vloss8 == pytest.approx(vloss1, rel=2e-2)
+    assert map8 == pytest.approx(map1, abs=0.15)
