@@ -98,6 +98,26 @@ def main():
     emit("int8_ptq_416_inference_throughput", B / mean, "images/sec/chip",
          {"batch": B})
 
+    # --- yolov3-tiny family (2-scale), bf16 and int8 PTQ
+    tiny = YOLOv3(
+        ModelConfig(num_classes=80, backbone="yolov3_tiny", strides=(32, 16))
+    )
+    tparams, tstats = tiny.init(jax.random.PRNGKey(2))
+    tfolded = tiny.fold(tparams, tstats)
+    Bt = 256
+    xt = jnp.asarray(rng.uniform(0, 1, (Bt, 416, 416, 3)), jnp.bfloat16)
+    pt = Predictor(
+        tiny, tfolded, anchors=cfg.TINY_ANCHORS, image_size=416,
+        use_pallas_nms=True,
+    )
+    p50, mean = timeit(lambda: pt.predict_batch(xt), iters=15)
+    emit("tiny_416_inference_throughput", Bt / mean, "images/sec/chip",
+         {"batch": Bt})
+    pt.quantize(np.asarray(xt[:8], np.float32))
+    p50, mean = timeit(lambda: pt.predict_batch(xt), iters=15)
+    emit("tiny_int8_ptq_416_inference_throughput", Bt / mean,
+         "images/sec/chip", {"batch": Bt})
+
     # --- training step throughput (fine-tune config: 416px, 2 classes)
     tmodel = YOLOv3(ModelConfig(num_classes=2, activation="mish"))
     tc = TrainConfig(batch_size=32, max_num_steps=100)

@@ -110,14 +110,27 @@ def test_tiny_plan_quantizes():
         assert _cos(g, r) > 0.99, _cos(g, r)
 
 
-def test_csp_plan_rejected():
+def test_csp_plan_quantizes():
+    """CSP stages quantize with the same drift bounds as the other families
+    (VERDICT round-2 item 5): split/transition/fuse convs per-channel,
+    partial stacks like residual blocks, shared-scale cross-stage concat."""
     from helpers import MINI_CSP_LAYERS
 
     model = YOLOv3(ModelConfig(num_classes=2, layer_config=MINI_CSP_LAYERS))
     params, stats = model.init(jax.random.PRNGKey(6))
     folded = model.fold(params, stats)
-    with pytest.raises(ValueError, match="CSP"):
-        quantize_folded(model.plan, folded, _x((1, 64, 64, 3)))
+    x = _x((2, 64, 64, 3), 6)
+    qp = quantize_folded(model.plan, folded, x)
+    # every calibrated scale is consumed exactly once by the int8 walk
+    ref = apply_inference(
+        model.plan, folded, x, compute_dtype=jnp.float32, raw_heads=True
+    )
+    got = apply_inference_int8(
+        model.plan, qp, x, raw_heads=True, compute_dtype=jnp.float32
+    )
+    assert len(got) == len(ref) == 3
+    for g, r in zip(got, ref):
+        assert _cos(g, r) > 0.99, _cos(g, r)
 
 
 def test_predictor_quantize_end_to_end(mini_folded):

@@ -27,7 +27,13 @@ weight/dataset egress, so tests bound the numeric drift vs the bf16 path
 instead (cosine similarity + box-level agreement, tests/test_quantize.py).
 
 Supported plan entries: PlanConv, PlanResidual, PlanHead, PlanMaxPool,
-PlanRoute, PlanUpsample (darknet53 + tiny). CSP plans raise (stay bf16).
+PlanRoute, PlanUpsample, PlanCSP — the darknet53, tiny AND CSPDarknet-53
+families (the reference README's own future direction, README.md:40, is
+not excluded from the fastest serving mode). CSP stages follow the same
+per-channel recipe: split/transition/fuse convs quantize like PlanConv,
+partial-stack blocks like PlanResidual, and the cross-stage concat
+requantizes both branches to one calibrated scale (same recipe as the
+upsample concat; see the per-branch caveat there).
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .blocks import conv2d, get_activation, maxpool2d, upsample2x
+from .cspdarknet import PlanCSP
 from .yolov3 import (
     PlanConv,
     PlanHead,
@@ -99,10 +106,24 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
                 x = rec(
                     jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
                 )
+            elif isinstance(entry, PlanCSP):
+                # mirror apply_inference_int8's CSP order exactly:
+                # split1, split2, per-block (conv1, post-add), transition,
+                # concat, fuse
+                shortcut = rec(conv(p["split1"], x, 1, 1))
+                y = rec(conv(p["split2"], x, 1, 1))
+                for bp in p["blocks"]:
+                    h = rec(conv(bp["conv1"], y, 1, 1))
+                    h = conv(bp["conv2"], h, 3, 1)
+                    y = rec(y + h)
+                y = rec(conv(p["transition"], y, 1, 1))
+                merged = rec(jnp.concatenate([y, shortcut], axis=-1))
+                x = rec(conv(p["fuse"], merged, 1, 1))
+                if entry.save_route:
+                    routes.append(x)
             else:
                 raise ValueError(
-                    f"int8 quantization does not support {type(entry).__name__} "
-                    "(CSP plans stay bf16)"
+                    f"int8 quantization does not support {type(entry).__name__}"
                 )
         return jnp.stack(maxes)
 
@@ -110,6 +131,23 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
         jax.jit(walk)(folded, jnp.asarray(x_calib, jnp.float32))
     )
     return tuple(float(max(m, 1e-12)) / 127.0 for m in maxes)
+
+
+def _q_conv(p) -> dict:
+    wq, sw = _wq(p["w"])
+    return {"wq": wq, "sw": sw, "b": jnp.asarray(p["b"], jnp.float32)}
+
+
+def _q_blocks(blocks) -> list:
+    out = []
+    for bp in blocks:
+        w1q, s1 = _wq(bp["conv1"]["w"])
+        w2q, s2 = _wq(bp["conv2"]["w"])
+        out.append({
+            "w1q": w1q, "s1": s1, "b1": jnp.asarray(bp["conv1"]["b"], jnp.float32),
+            "w2q": w2q, "s2": s2, "b2": jnp.asarray(bp["conv2"]["b"], jnp.float32),
+        })
+    return out
 
 
 def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
@@ -122,18 +160,17 @@ def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
     layers = []
     for entry, p in zip(plan, folded):
         if isinstance(entry, PlanConv):
-            wq, sw = _wq(p["conv"]["w"])
-            layers.append({"wq": wq, "sw": sw, "b": jnp.asarray(p["conv"]["b"], jnp.float32)})
+            layers.append(_q_conv(p["conv"]))
         elif isinstance(entry, PlanResidual):
-            blocks = []
-            for bp in p["blocks"]:
-                w1q, s1 = _wq(bp["conv1"]["w"])
-                w2q, s2 = _wq(bp["conv2"]["w"])
-                blocks.append({
-                    "w1q": w1q, "s1": s1, "b1": jnp.asarray(bp["conv1"]["b"], jnp.float32),
-                    "w2q": w2q, "s2": s2, "b2": jnp.asarray(bp["conv2"]["b"], jnp.float32),
-                })
-            layers.append({"blocks": blocks})
+            layers.append({"blocks": _q_blocks(p["blocks"])})
+        elif isinstance(entry, PlanCSP):
+            layers.append({
+                "split1": _q_conv(p["split1"]),
+                "split2": _q_conv(p["split2"]),
+                "blocks": _q_blocks(p["blocks"]),
+                "transition": _q_conv(p["transition"]),
+                "fuse": _q_conv(p["fuse"]),
+            })
         else:
             layers.append(p)  # heads & weightless entries keep bf16 params
     # scales ship as ONE device array (python-float leaves would re-commit
@@ -234,10 +271,63 @@ def apply_inference_int8(
         elif isinstance(entry, PlanRoute):
             routes.append((xq, s_x))
         elif isinstance(entry, PlanUpsample):
+            # Both branches requantize to ONE shared per-tensor scale for
+            # the concat output. If mAP validation on real weights shows
+            # drift concentrated at the concat layers, the upgrade path is
+            # per-branch calibrated scales (each branch requantized with its
+            # own s before concatenation); current drift is bounded by the
+            # cosine-similarity tests (tests/test_quantize.py), not
+            # per-branch.
             rq, rs = routes.pop()
             s_out = scales[next(si)]
             up = upsample2x(xq).astype(jnp.float32) * s_x
             rf = rq.astype(jnp.float32) * rs
             xq = _requant(jnp.concatenate([up, rf], axis=-1), s_out)
             s_x = s_out
+        elif isinstance(entry, PlanCSP):
+            # split convs from the shared stage input
+            s_sc = scales[next(si)]
+            scq = epilogue(
+                _conv_i8(xq, p["split1"]["wq"], 1, 0), s_x,
+                p["split1"]["sw"], p["split1"]["b"], s_sc,
+            )
+            s_y = scales[next(si)]
+            yq = epilogue(
+                _conv_i8(xq, p["split2"]["wq"], 1, 0), s_x,
+                p["split2"]["sw"], p["split2"]["b"], s_y,
+            )
+            # partial stack: 1x1 -> 3x3 with residual add (PlanResidual recipe)
+            for bp in p["blocks"]:
+                s1_out = scales[next(si)]
+                t1 = epilogue(
+                    _conv_i8(yq, bp["w1q"], 1, 0), s_y, bp["s1"], bp["b1"],
+                    s1_out,
+                )
+                s2_out = scales[next(si)]
+                yq = epilogue(
+                    _conv_i8(t1, bp["w2q"], 1, 1), s1_out, bp["s2"], bp["b2"],
+                    s2_out, residual=(yq, s_y),
+                )
+                s_y = s2_out
+            s_t = scales[next(si)]
+            yq = epilogue(
+                _conv_i8(yq, p["transition"]["wq"], 1, 0), s_y,
+                p["transition"]["sw"], p["transition"]["b"], s_t,
+            )
+            # cross-stage concat: one shared calibrated scale (same recipe
+            # and caveat as the upsample concat above)
+            s_cat = scales[next(si)]
+            merged = jnp.concatenate(
+                [yq.astype(jnp.float32) * s_t, scq.astype(jnp.float32) * s_sc],
+                axis=-1,
+            )
+            mq = _requant(merged, s_cat)
+            s_out = scales[next(si)]
+            xq = epilogue(
+                _conv_i8(mq, p["fuse"]["wq"], 1, 0), s_cat,
+                p["fuse"]["sw"], p["fuse"]["b"], s_out,
+            )
+            s_x = s_out
+            if entry.save_route:
+                routes.append((xq, s_x))
     return preds
