@@ -145,3 +145,30 @@ def test_train_mode_updates_batch_stats():
     before = stats[0]["conv"]["mean"]
     after = new_stats[0]["conv"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_shifted_bn_moments_stable():
+    """Shifted single-pass variance (blocks.bn_batch_moments with the
+    running mean as shift) is exact algebra — same moments as numpy's
+    two-pass on benign data — and stays accurate where the unshifted
+    E[x^2]-E[x]^2 catastrophically cancels (|mean| >> std)."""
+    import numpy as np
+
+    from yolo_for_turbines_tpu.models.blocks import bn_batch_moments
+
+    rng = np.random.default_rng(0)
+    # benign scale: shifted == unshifted == numpy
+    y = rng.normal(0.5, 2.0, (4, 8, 8, 16)).astype(np.float32)
+    m_ref = y.reshape(-1, 16).mean(0)
+    v_ref = y.reshape(-1, 16).var(0)
+    for shift in [None, np.asarray(m_ref * 0.9, np.float32)]:
+        mean, var = bn_batch_moments(jnp.asarray(y), None if shift is None else jnp.asarray(shift))
+        np.testing.assert_allclose(np.asarray(mean), m_ref, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(var), v_ref, rtol=1e-3)
+
+    # hostile scale: mean 1000, std 1 — cancellation regime
+    y = rng.normal(1000.0, 1.0, (4, 16, 16, 8)).astype(np.float32)
+    v_ref = y.reshape(-1, 8).astype(np.float64).var(0)
+    shift = np.full((8,), 1000.0, np.float32)  # what the running mean tracks
+    _, v_shifted = bn_batch_moments(jnp.asarray(y), jnp.asarray(shift))
+    np.testing.assert_allclose(np.asarray(v_shifted), v_ref, rtol=1e-3)

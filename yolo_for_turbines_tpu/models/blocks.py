@@ -123,19 +123,32 @@ def conv2d(x, w, stride: int, padding):
     )
 
 
-def bn_batch_moments(y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def bn_batch_moments(
+    y: jnp.ndarray, shift: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pass f32 batch moments per channel (NHWC reduce over B, H, W).
 
-    var = E[x^2] - E[x]^2 rather than jnp.var's two-pass E[(x - mean)^2]:
-    both sums reduce in ONE fused read of the conv output instead of a
-    second pass that depends on the first (profiled: the _var reductions
-    cost 4.6 ms fwd + 4.5 ms bwd of the 97 ms bs=32 train step). f32
-    accumulation keeps the cancellation benign at BN-activation scales.
+    Still ONE fused read of the conv output (vs jnp.var's two dependent
+    passes — profiled: the _var reductions cost 4.6 ms fwd + 4.5 ms bwd of
+    the 97 ms bs=32 train step), but SHIFTED: with a per-channel `shift` m
+    (the running mean — free, already in registers for the caller),
+
+        var = E[(x - m)^2] - (E[x] - m)^2
+
+    which is exact algebra and numerically stable whenever m tracks the
+    batch mean. The unshifted E[x^2] - E[x]^2 cancels catastrophically when
+    |mean| >> std, making BN gradients reassociation-noisy at %-level
+    between differently-compiled programs (measured: eager-vs-jit stem beta
+    grads differed 2x). The subtract fuses into the same elementwise read.
     """
     yf = y.astype(jnp.float32)
-    mean = jnp.mean(yf, axis=(0, 1, 2))
-    sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
-    return mean, jnp.maximum(sq - jnp.square(mean), 0.0)
+    if shift is not None:
+        yf = yf - shift.astype(jnp.float32)
+    dmean = jnp.mean(yf, axis=(0, 1, 2))
+    dsq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+    var = jnp.maximum(dsq - jnp.square(dmean), 0.0)
+    mean = dmean if shift is None else dmean + shift.astype(jnp.float32)
+    return mean, var
 
 
 def bn_scale_shift(
@@ -193,7 +206,7 @@ def apply_conv_block(
         return y, None, None
 
     if train:
-        moments = bn_batch_moments(y)
+        moments = bn_batch_moments(y, shift=stats["mean"])
         n = int(np.prod([d for i, d in enumerate(y.shape) if i != 3]))
         inv, shift, new_stats = bn_scale_shift(params, stats, moments, n)
     else:

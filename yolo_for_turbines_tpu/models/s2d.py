@@ -120,14 +120,19 @@ def tile4(v: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return None if v is None else jnp.tile(v, 4)
 
 
-def bn_batch_moments_s2d(y: jnp.ndarray, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def bn_batch_moments_s2d(
+    y: jnp.ndarray, c: int, shift: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch mean/var per ORIGINAL channel from an s2d activation
     (B, P, Q, 4c): reduce over batch, space, and the 4 phases. Same element
     set as the plain-layout reduction, so stats (and therefore training
-    trajectories) are unchanged. f32 accumulation, E[x^2]-E[x]^2 single pass
-    (see blocks.apply_conv_block)."""
+    trajectories) are unchanged. f32 accumulation, shifted single pass
+    (see blocks.bn_batch_moments for the numerics)."""
     yf = y.astype(jnp.float32).reshape(*y.shape[:3], 4, c)
-    mean = jnp.mean(yf, axis=(0, 1, 2, 3))
-    sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2, 3))
-    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    if shift is not None:
+        yf = yf - shift.astype(jnp.float32)
+    dmean = jnp.mean(yf, axis=(0, 1, 2, 3))
+    dsq = jnp.mean(jnp.square(yf), axis=(0, 1, 2, 3))
+    var = jnp.maximum(dsq - jnp.square(dmean), 0.0)
+    mean = dmean if shift is None else dmean + shift.astype(jnp.float32)
     return mean, var

@@ -296,7 +296,9 @@ def _apply_stem_s2d(entries, params, batch_stats, x, act, train, compute_dtype):
         # tiling are s2d-layout-aware
         if train:
             moments = (
-                s2dm.bn_batch_moments_s2d(y, c) if out_s2d else bn_batch_moments(y)
+                s2dm.bn_batch_moments_s2d(y, c, shift=s["mean"])
+                if out_s2d
+                else bn_batch_moments(y, shift=s["mean"])
             )
             inv, shift, new_s = bn_scale_shift(
                 p, s, moments, int(np.prod(y.shape)) // c
