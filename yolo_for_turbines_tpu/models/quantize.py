@@ -31,9 +31,15 @@ PlanRoute, PlanUpsample, PlanCSP — the darknet53, tiny AND CSPDarknet-53
 families (the reference README's own future direction, README.md:40, is
 not excluded from the fastest serving mode). CSP stages follow the same
 per-channel recipe: split/transition/fuse convs quantize like PlanConv,
-partial-stack blocks like PlanResidual, and the cross-stage concat
-requantizes both branches to one calibrated scale (same recipe as the
-upsample concat; see the per-branch caveat there).
+partial-stack blocks like PlanResidual.
+
+Channel concats (upsample route merges, CSP cross-stage merges) are NOT
+quantized to a shared scale: conv(concat(a, b), W) == conv(a, W_a) +
+conv(b, W_b), so the consuming conv runs as two int8 convs whose partials
+dequant-sum in the fused epilogue with PER-BRANCH scales (`_concat_mode`).
+This removes the concat materialization + requant pass from HBM traffic
+AND the shared-scale precision loss the round-2 advisor flagged. Heads
+consume concats directly in bf16.
 """
 
 from __future__ import annotations
@@ -86,7 +92,8 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
             return act(conv2d(t, p["w"].astype(t.dtype), stride, pad) + p["b"])
 
         routes = []
-        for entry, p in zip(plan, folded_t):
+        plan_t = tuple(plan)
+        for i, (entry, p) in enumerate(zip(plan_t, folded_t)):
             if isinstance(entry, PlanConv):
                 x = rec(conv(p["conv"], x, entry.kernel, entry.stride))
             elif isinstance(entry, PlanResidual):
@@ -103,13 +110,17 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
             elif isinstance(entry, PlanRoute):
                 routes.append(x)
             elif isinstance(entry, PlanUpsample):
-                x = rec(
-                    jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
-                )
+                # the concat tensor only gets its own scale in "requant"
+                # mode; split-conv and bf16-head consumers work from the
+                # two branch tensors (whose scales are already recorded)
+                cat = jnp.concatenate([upsample2x(x), routes.pop()], axis=-1)
+                mode = _concat_mode(plan_t[i + 1] if i + 1 < len(plan_t) else None)
+                x = rec(cat) if mode == "requant" else cat
             elif isinstance(entry, PlanCSP):
                 # mirror apply_inference_int8's CSP order exactly:
                 # split1, split2, per-block (conv1, post-add), transition,
-                # concat, fuse
+                # fuse (the fuse conv consumes the concat as a split-weight
+                # pair — the merged tensor itself is never quantized)
                 shortcut = rec(conv(p["split1"], x, 1, 1))
                 y = rec(conv(p["split2"], x, 1, 1))
                 for bp in p["blocks"]:
@@ -117,7 +128,7 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
                     h = conv(bp["conv2"], h, 3, 1)
                     y = rec(y + h)
                 y = rec(conv(p["transition"], y, 1, 1))
-                merged = rec(jnp.concatenate([y, shortcut], axis=-1))
+                merged = jnp.concatenate([y, shortcut], axis=-1)
                 x = rec(conv(p["fuse"], merged, 1, 1))
                 if entry.save_route:
                     routes.append(x)
@@ -131,6 +142,24 @@ def calibrate(plan, folded, x_calib, activation: str = "leaky_relu"):
         jax.jit(walk)(folded, jnp.asarray(x_calib, jnp.float32))
     )
     return tuple(float(max(m, 1e-12)) / 127.0 for m in maxes)
+
+
+def _concat_mode(next_entry) -> str:
+    """How a channel-concat's consumer handles two differently-scaled int8
+    branches:
+    - "conv": conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b,
+      W[:, :, Ca:]) — run two int8 convs and dequant-sum in the epilogue.
+      No concat materialization, no requant pass, per-branch precision
+      (resolves the shared-scale caveat the old path documented).
+    - "head": the head runs bf16 anyway — concat the dequantized branches.
+    - "requant": fallback for any other consumer — one shared calibrated
+      scale, as the old path did for every concat.
+    """
+    if isinstance(next_entry, PlanConv):
+        return "conv"
+    if isinstance(next_entry, PlanHead):
+        return "head"
+    return "requant"
 
 
 def _q_conv(p) -> dict:
@@ -172,7 +201,13 @@ def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
                 "fuse": _q_conv(p["fuse"]),
             })
         else:
-            layers.append(p)  # heads & weightless entries keep bf16 params
+            # heads & weightless entries keep full-precision params — but
+            # they must live ON DEVICE: the Predictor's folded source is
+            # host numpy (inference.py keeps it host-side so the bf16 path
+            # doesn't hold a second device copy), and a numpy leaf in the
+            # jitted arg tree re-uploads ~27 MB of head weights over the
+            # tunnel on EVERY call (measured: 2850 -> 95 img/s end-to-end).
+            layers.append(jax.tree_util.tree_map(jnp.asarray, p))
     # scales ship as ONE device array (python-float leaves would re-commit
     # ~100 tiny host scalars to the device on every jitted call)
     return {"layers": layers, "scales": jnp.asarray(scales, jnp.float32)}
@@ -212,23 +247,46 @@ def apply_inference_int8(
     s_x = INPUT_SCALE
     preds = []
     routes = []  # (int8 tensor, scale)
+    # a channel-concat whose consumer resolves it (split-weight conv or
+    # bf16 head): (branch_a_q, s_a, branch_b_q, s_b)
+    pending = None
 
-    def epilogue(y32, s_in, sw, b, s_out, residual=None):
+    def epilogue(y32, s_in, sw, b, s_out, residual=None, extra=None):
         # dequant + bias + activation (+ residual add) + requant: one fused
-        # f32 elementwise pass in the conv epilogue
-        y = y32.astype(jnp.float32) * (s_in * sw) + b
-        y = act(y)
+        # f32 elementwise pass in the conv epilogue. `extra` = (y32b, s_b)
+        # adds a second partial conv (split-weight concat consumer) before
+        # bias/activation.
+        y = y32.astype(jnp.float32) * (s_in * sw)
+        if extra is not None:
+            y32b, s_b = extra
+            y = y + y32b.astype(jnp.float32) * (s_b * sw)
+        y = act(y + b)
         if residual is not None:
             rq, rs = residual
             y = y + rq.astype(jnp.float32) * rs
         return _requant(y, s_out)
 
-    for entry, p in zip(plan, layers):
+    def split_conv(pair, q, stride, pad, s_out):
+        aq, s_a, bq, s_b = pair
+        ca = aq.shape[-1]
+        y32a = _conv_i8(aq, q["wq"][:, :, :ca], stride, pad)
+        y32b = _conv_i8(bq, q["wq"][:, :, ca:], stride, pad)
+        return epilogue(
+            y32a, s_a, q["sw"], q["b"], s_out, extra=(y32b, s_b)
+        )
+
+    plan_t = tuple(plan)
+    for i, (entry, p) in enumerate(zip(plan_t, layers)):
+        nxt = plan_t[i + 1] if i + 1 < len(plan_t) else None
         if isinstance(entry, PlanConv):
             pad = 1 if entry.kernel == 3 else 0
             s_out = scales[next(si)]
-            y32 = _conv_i8(xq, p["wq"], entry.stride, pad)
-            xq = epilogue(y32, s_x, p["sw"], p["b"], s_out)
+            if pending is not None:
+                xq = split_conv(pending, p, entry.stride, pad, s_out)
+                pending = None
+            else:
+                y32 = _conv_i8(xq, p["wq"], entry.stride, pad)
+                xq = epilogue(y32, s_x, p["sw"], p["b"], s_out)
             s_x = s_out
         elif isinstance(entry, PlanResidual):
             for bp in p["blocks"]:
@@ -246,8 +304,21 @@ def apply_inference_int8(
             if entry.save_route:
                 routes.append((xq, s_x))
         elif isinstance(entry, PlanHead):
-            # bf16 head from the dequantized trunk
-            xf = (xq.astype(jnp.float32) * s_x).astype(compute_dtype)
+            # bf16 head from the dequantized trunk (a pending concat is
+            # resolved as a bf16 concat of the dequantized branches — the
+            # head leaves int8 anyway, so no requant and no precision loss)
+            if pending is not None:
+                aq, s_a, bq, s_b = pending
+                pending = None
+                xf = jnp.concatenate(
+                    [
+                        (aq.astype(jnp.float32) * s_a).astype(compute_dtype),
+                        (bq.astype(jnp.float32) * s_b).astype(compute_dtype),
+                    ],
+                    axis=-1,
+                )
+            else:
+                xf = (xq.astype(jnp.float32) * s_x).astype(compute_dtype)
             y = act(
                 conv2d(xf, p["conv1"]["w"].astype(compute_dtype), 1, 1)
                 + p["conv1"]["b"].astype(compute_dtype)
@@ -271,19 +342,22 @@ def apply_inference_int8(
         elif isinstance(entry, PlanRoute):
             routes.append((xq, s_x))
         elif isinstance(entry, PlanUpsample):
-            # Both branches requantize to ONE shared per-tensor scale for
-            # the concat output. If mAP validation on real weights shows
-            # drift concentrated at the concat layers, the upgrade path is
-            # per-branch calibrated scales (each branch requantized with its
-            # own s before concatenation); current drift is bounded by the
-            # cosine-similarity tests (tests/test_quantize.py), not
-            # per-branch.
+            # nearest-2x upsample preserves the trunk's scale, so the
+            # concat becomes a PENDING branch pair resolved by its consumer
+            # with per-branch scales (see _concat_mode): a following conv
+            # runs split-weight (no concat materialization, no requant), a
+            # following head concats in bf16. Only an exotic consumer pays
+            # the old shared-scale requant.
             rq, rs = routes.pop()
-            s_out = scales[next(si)]
-            up = upsample2x(xq).astype(jnp.float32) * s_x
-            rf = rq.astype(jnp.float32) * rs
-            xq = _requant(jnp.concatenate([up, rf], axis=-1), s_out)
-            s_x = s_out
+            mode = _concat_mode(nxt)
+            if mode == "requant":
+                s_out = scales[next(si)]
+                up = upsample2x(xq).astype(jnp.float32) * s_x
+                rf = rq.astype(jnp.float32) * rs
+                xq = _requant(jnp.concatenate([up, rf], axis=-1), s_out)
+                s_x = s_out
+            else:
+                pending = (upsample2x(xq), s_x, rq, rs)
         elif isinstance(entry, PlanCSP):
             # split convs from the shared stage input
             s_sc = scales[next(si)]
@@ -314,19 +388,11 @@ def apply_inference_int8(
                 _conv_i8(yq, p["transition"]["wq"], 1, 0), s_y,
                 p["transition"]["sw"], p["transition"]["b"], s_t,
             )
-            # cross-stage concat: one shared calibrated scale (same recipe
-            # and caveat as the upsample concat above)
-            s_cat = scales[next(si)]
-            merged = jnp.concatenate(
-                [yq.astype(jnp.float32) * s_t, scq.astype(jnp.float32) * s_sc],
-                axis=-1,
-            )
-            mq = _requant(merged, s_cat)
+            # cross-stage concat: the fuse conv consumes it SPLIT-WEIGHT
+            # with per-branch scales — the merged tensor is never
+            # materialized or requantized
             s_out = scales[next(si)]
-            xq = epilogue(
-                _conv_i8(mq, p["fuse"]["wq"], 1, 0), s_cat,
-                p["fuse"]["sw"], p["fuse"]["b"], s_out,
-            )
+            xq = split_conv((yq, s_t, scq, s_sc), p["fuse"], 1, 0, s_out)
             s_x = s_out
             if entry.save_route:
                 routes.append((xq, s_x))
