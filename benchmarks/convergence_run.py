@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume from the run's best checkpoint")
     ap.add_argument("--no-multi-scale", action="store_true")
+    ap.add_argument("--decay-lr", action="store_true",
+                    help="warmup + cosine decay (stabilizes late epochs; "
+                         "constant post-warmup lr=1e-3 oscillates on the "
+                         "354-image overfit)")
     ap.add_argument("--mosaic", action="store_true")
     ap.add_argument("--early-stop", type=int, default=30)
     ap.add_argument("--num-workers", type=int, default=8)
@@ -67,6 +71,7 @@ def main():
         mosaic=args.mosaic,
         cache_images=True,
         load_checkpoint=args.resume,
+        decay_lr=args.decay_lr,
     )
     model_dir = root / "models"
     model_dir.mkdir(parents=True, exist_ok=True)

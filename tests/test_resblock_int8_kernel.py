@@ -82,8 +82,73 @@ def test_fused_int8_stage_matches_xla_loop(activation):
     assert (diff != 0).mean() < 0.01
 
 
+def test_apply_inference_int8_fused_routing_matches_xla():
+    """Integration glue: `apply_inference_int8`'s PlanResidual branch with
+    the fused router forced on (interpret mode) must match the XLA block
+    loop end-to-end — scale-chain hoisting, operand packing, routing."""
+    from helpers import mini_model
+    from yolo_for_turbines_tpu.models import quantize as qz
+
+    model = mini_model()
+    params, stats = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(params, stats)
+    rng = np.random.default_rng(11)
+    xc = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    qp = qz.quantize_folded(model.plan, folded, xc)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    want = qz.apply_inference_int8(model.plan, qp, x, raw_heads=True)
+    assert not qz._FORCE_FUSED_INT8_INTERPRET
+    qz._FORCE_FUSED_INT8_INTERPRET = True
+    try:
+        got = qz.apply_inference_int8(model.plan, qp, x, raw_heads=True)
+    finally:
+        qz._FORCE_FUSED_INT8_INTERPRET = False
+
+    for g, r in zip(got, want):
+        g = np.asarray(g, np.float64)
+        r = np.asarray(r, np.float64)
+        # downstream of the stage requants, drift is bounded by single
+        # +/-1 int8 flips at exact-.5 boundaries inside the stages
+        cos = float(
+            (g.ravel() @ r.ravel())
+            / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12)
+        )
+        assert cos > 0.999, cos
+
+
 def test_int8_chunk_sizing():
     # 26x26x512-class geometry fits a multi-block chunk
     assert int8_chunk_for(26, 26, 512, 8) >= 2
     # absurd geometry returns 0 (no fused path)
     assert int8_chunk_for(104, 104, 2048, 8) == 0
+
+
+def test_int8_winner_routing():
+    """Measured-winner gating: the production table is EMPTY (e2e A/B
+    negative result, see _WINNING's comment) so nothing routes to the
+    kernel by default; when a geometry is entered, routing picks its
+    measured chunk clamped to a divisor of n_blocks."""
+    from yolo_for_turbines_tpu.ops.pallas import resblock_int8_kernel as rk
+
+    # production default: kernel off everywhere
+    assert not rk._WINNING
+    assert not rk.int8_stage_wins(128, 52, 52, 256, 8)
+    assert not rk.int8_stage_wins(128, 26, 26, 512, 8)
+
+    rk._WINNING[(52 * 52, 256)] = 4
+    rk._WINNING[(26 * 26, 512)] = 2
+    try:
+        assert rk.int8_stage_wins(128, 52, 52, 256, 8)
+        assert rk.int8_winning_chunk(52, 52, 256, 8) == 4
+        assert rk.int8_stage_wins(128, 26, 26, 512, 8)
+        assert rk.int8_winning_chunk(26, 26, 512, 8) == 2
+        # unlisted geometries stay on XLA
+        assert not rk.int8_stage_wins(128, 104, 104, 128, 2)
+        assert not rk.int8_stage_wins(128, 13, 13, 1024, 4)
+        # small batches never route to the kernel
+        assert not rk.int8_stage_wins(4, 52, 52, 256, 8)
+        # chunk must divide n_blocks: a 6-block stage clamps 4 -> 3
+        assert rk.int8_winning_chunk(52, 52, 256, 6) == 3
+    finally:
+        rk._WINNING.clear()

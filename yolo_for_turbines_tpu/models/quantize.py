@@ -213,6 +213,42 @@ def quantize_folded(plan, folded, x_calib, activation: str = "leaky_relu"):
     return {"layers": layers, "scales": jnp.asarray(scales, jnp.float32)}
 
 
+# Test hook: when True the router skips the TPU-backend + measured-winner
+# gates and runs the kernel in Pallas interpret mode, so the integration
+# glue (scale-chain hoisting, operand packing, routing) is exercisable on
+# CPU (tests/test_resblock_int8_kernel.py).
+_FORCE_FUSED_INT8_INTERPRET = False
+
+
+def _fused_residual_stage_int8_or_none(
+    entry, p, xq, s_x, s1_list, s2_list, activation
+):
+    """Route a use_residual stage through the fused int8 Pallas kernel when
+    its geometry is a measured winner (ops/pallas/resblock_int8_kernel.py);
+    returns None to take the XLA block loop."""
+    if not entry.use_residual:
+        return None
+    from ..ops.pallas import resblock_int8_kernel as rk
+
+    b, h, w, c = xq.shape
+    n = len(p["blocks"])
+    if _FORCE_FUSED_INT8_INTERPRET:
+        chunk = max(1, rk.int8_chunk_for(h, w, c, n))
+        while n % chunk:
+            chunk -= 1
+    else:
+        if jax.default_backend() == "cpu":  # Mosaic kernels are TPU-only
+            return None
+        if not rk.int8_stage_wins(b, h, w, c, n):
+            return None
+        chunk = rk.int8_winning_chunk(h, w, c, n)
+    ops = rk.pack_int8_stage(p["blocks"], s_x, s1_list, s2_list)
+    return rk.fused_residual_stage_int8(
+        xq, *ops, chunk=chunk, activation=activation,
+        interpret=_FORCE_FUSED_INT8_INTERPRET,
+    )
+
+
 def _conv_i8(xq, wq, stride, pad):
     return jax.lax.conv_general_dilated(
         xq, wq, (stride, stride), ((pad, pad), (pad, pad)),
@@ -289,18 +325,31 @@ def apply_inference_int8(
                 xq = epilogue(y32, s_x, p["sw"], p["b"], s_out)
             s_x = s_out
         elif isinstance(entry, PlanResidual):
-            for bp in p["blocks"]:
-                s1_out = scales[next(si)]
-                t1 = epilogue(
-                    _conv_i8(xq, bp["w1q"], 1, 0), s_x, bp["s1"], bp["b1"], s1_out
-                )
-                s2_out = scales[next(si)]
-                res = (xq, s_x) if entry.use_residual else None
-                xq = epilogue(
-                    _conv_i8(t1, bp["w2q"], 1, 1), s1_out, bp["s2"], bp["b2"],
-                    s2_out, residual=res,
-                )
-                s_x = s2_out
+            # pull this stage's calibrated scale chain up front (stream
+            # order is interleaved (s1, s2) per block) so the fused-kernel
+            # path consumes the identical scales
+            s1_list, s2_list = [], []
+            for _ in p["blocks"]:
+                s1_list.append(scales[next(si)])
+                s2_list.append(scales[next(si)])
+            fused = _fused_residual_stage_int8_or_none(
+                entry, p, xq, s_x, s1_list, s2_list, activation
+            )
+            if fused is not None:
+                xq = fused
+                s_x = s2_list[-1]
+            else:
+                for bp, s1_out, s2_out in zip(p["blocks"], s1_list, s2_list):
+                    t1 = epilogue(
+                        _conv_i8(xq, bp["w1q"], 1, 0), s_x, bp["s1"],
+                        bp["b1"], s1_out,
+                    )
+                    res = (xq, s_x) if entry.use_residual else None
+                    xq = epilogue(
+                        _conv_i8(t1, bp["w2q"], 1, 1), s1_out, bp["s2"],
+                        bp["b2"], s2_out, residual=res,
+                    )
+                    s_x = s2_out
             if entry.save_route:
                 routes.append((xq, s_x))
         elif isinstance(entry, PlanHead):

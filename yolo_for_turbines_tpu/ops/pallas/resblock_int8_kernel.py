@@ -230,14 +230,34 @@ def int8_chunk_for(h: int, w: int, c: int, n_blocks: int) -> int:
     return chunk
 
 
-# Geometry classes measured to beat the XLA int8 path on v5e
-# (benchmarks/bench_resblock_int8.py). Populated from measurement;
-# empty-by-default means the fused path is opt-in per measurement, like
-# the bf16 kernel's `stage_wins`.
-_WINNING = set()
+# Geometry classes measured to beat the XLA int8 path on v5e, mapped to
+# their measured-best chunk (benchmarks/bench_resblock_int8.py, B=128).
+#
+# EMPTY BY DESIGN — measured negative result (RESULTS.md "int8 stage
+# fusion A/B"): in ISOLATION the kernel wins big (52x52x256 n=8: 8.7 ms
+# fused vs 61.8 ms XLA; 26x26x512 n=8: 7.1 vs 24.0), but END TO END the
+# full int8 pipeline is ~2% SLOWER with the kernel routed in (2756 vs
+# 2801 img/s, same-session repeated A/B). The isolated XLA baseline
+# under-fuses; inside the full program every int8 conv already lowers to
+# one clamp_convert_fusion (conv + dequant/bias/act/requant epilogue,
+# s8 out), so the stage loop's HBM traffic is already near-minimal and
+# the kernel boundary only breaks XLA's cross-op fusion. The kernel and
+# router are kept as measured-win opt-in infrastructure: populate
+# {(h*w, c): chunk} from bench_resblock_int8.py if a future
+# geometry/toolchain shifts the balance.
+_WINNING = {}
 
 
 def int8_stage_wins(b: int, h: int, w: int, c: int, n_blocks: int) -> bool:
     if b < 8:
         return False
     return (h * w, c) in _WINNING and int8_chunk_for(h, w, c, n_blocks) >= 2
+
+
+def int8_winning_chunk(h: int, w: int, c: int, n_blocks: int) -> int:
+    """Measured-best chunk for a winning geometry, clamped to what VMEM
+    fits and to a divisor of n_blocks."""
+    chunk = min(_WINNING[(h * w, c)], max(int8_chunk_for(h, w, c, n_blocks), 1))
+    while n_blocks % chunk:
+        chunk -= 1
+    return chunk
