@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume from the run's best checkpoint")
     ap.add_argument("--no-multi-scale", action="store_true")
+    ap.add_argument("--warmup", type=float, default=0.05,
+                    help="warmup fraction of max_num_steps (the default "
+                         "TrainConfig 0.01 is ~9 steps at 900 total; "
+                         "lr=1e-3 needs a few epochs of warmup from "
+                         "random init, see RESULTS.md shakedown)")
     ap.add_argument("--decay-lr", action="store_true",
                     help="warmup + cosine decay (stabilizes late epochs; "
                          "constant post-warmup lr=1e-3 oscillates on the "
@@ -72,6 +77,7 @@ def main():
         cache_images=True,
         load_checkpoint=args.resume,
         decay_lr=args.decay_lr,
+        warmup=args.warmup,
     )
     model_dir = root / "models"
     model_dir.mkdir(parents=True, exist_ok=True)
