@@ -53,7 +53,7 @@ def make_eval_boxes_step(
     strides = model.strides
 
     @functools.partial(jax.jit, static_argnames=("image_size",))
-    def step(params, batch_stats, images, targets_fine, anchors, *, image_size):
+    def eval_boxes_step(params, batch_stats, images, targets_fine, anchors, *, image_size):
         grid_sizes = cfg.grid_sizes_for(image_size, strides)
         scaled = jnp.asarray(anchors, jnp.float32) * jnp.asarray(
             grid_sizes, jnp.float32
@@ -74,7 +74,7 @@ def make_eval_boxes_step(
         true = jnp.take_along_axis(true, idx[..., None], axis=1)
         return kept, mask, true
 
-    return step
+    return eval_boxes_step
 
 
 @functools.lru_cache(maxsize=16)
@@ -101,7 +101,7 @@ def make_fused_eval_step(
     strides = model.strides
 
     @functools.partial(jax.jit, static_argnames=("image_size",))
-    def step(params, batch_stats, images, targets, anchors, *, image_size):
+    def fused_val_step(params, batch_stats, images, targets, anchors, *, image_size):
         grid_sizes = cfg.grid_sizes_for(image_size, strides)
         scaled = jnp.asarray(anchors, jnp.float32) * jnp.asarray(
             grid_sizes, jnp.float32
@@ -128,7 +128,7 @@ def make_fused_eval_step(
         true = jnp.take_along_axis(true, idx[..., None], axis=1)
         return metrics, counts, kept, mask, true
 
-    return step
+    return fused_val_step
 
 
 def rows_from_eval_step(kept, mask, true, start_idx: int, obj_threshold: float):

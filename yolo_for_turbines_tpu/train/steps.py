@@ -224,7 +224,9 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
 
-    def step(state: TrainState, images, targets, scaled_anchors):
+    # distinct __name__ so jax_log_compiles output (benchmarks/hpo_run.py's
+    # compile counter) separates train from eval compiles
+    def train_step(state: TrainState, images, targets, scaled_anchors):
         def loss_fn(params):
             preds, new_stats = model.apply(
                 params,
@@ -258,12 +260,12 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         return jax.jit(
-            step,
+            train_step,
             in_shardings=(repl, data, (data, data, data), repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(model: YOLOv3, cfg: TrainConfig, mesh=None):
@@ -278,7 +280,7 @@ def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
 
-    def step(state: TrainState, images, targets, scaled_anchors):
+    def eval_step(state: TrainState, images, targets, scaled_anchors):
         preds, _ = model.apply(
             state.params,
             state.batch_stats,
@@ -297,11 +299,11 @@ def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         return jax.jit(
-            step,
+            eval_step,
             in_shardings=(repl, data, (data, data, data), repl),
             out_shardings=repl,
         )
-    return jax.jit(step)
+    return jax.jit(eval_step)
 
 
 def make_forward_eval(model: YOLOv3, cfg: TrainConfig):
