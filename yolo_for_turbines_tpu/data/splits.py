@@ -74,3 +74,34 @@ def create_csv_files(
             delimiter=",",
         )
         start = end
+
+
+def main(argv=None):
+    """CSV split CLI (reference: code/utils.py:862-863 runs create_csv_files
+    as __main__ with a 70/20/10 split)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--images", required=True, help="image folder")
+    ap.add_argument("--labels", required=True, help="label txt folder")
+    ap.add_argument("--out", required=True, help="folder for {split}.csv files")
+    ap.add_argument("--train", type=float, default=0.7)
+    ap.add_argument("--val", type=float, default=0.2)
+    ap.add_argument("--test", type=float, default=0.1)
+    ap.add_argument("--image-ext", default=".png")
+    ap.add_argument("--seed", type=int, default=3407)
+    args = ap.parse_args(argv)
+    split_map = {
+        k: v
+        for k, v in (("train", args.train), ("val", args.val), ("test", args.test))
+        if v > 0
+    }
+    create_csv_files(
+        args.images, args.labels, args.out, split_map,
+        image_ext=args.image_ext, seed=args.seed,
+    )
+    print(f"wrote {', '.join(s + '.csv' for s in split_map)} under {args.out}")
+
+
+if __name__ == "__main__":
+    main()
