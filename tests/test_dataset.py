@@ -416,3 +416,22 @@ def test_cache_images_byte_budget(data_dir):
     for i in range(len(ds_unb)):
         ds_unb.load_image(i)
     assert len(ds_unb._image_cache) == len(ds_unb)
+
+
+def test_splits_cli(data_dir, capsys):
+    """`python -m yolo_for_turbines_tpu.data.splits` writes split CSVs
+    (reference: code/utils.py:862-863 runs create_csv_files as __main__)."""
+    from yolo_for_turbines_tpu.data.splits import main as splits_main
+
+    out = data_dir / "cli_out"
+    out.mkdir()
+    splits_main([
+        "--images", str(data_dir / "images"),
+        "--labels", str(data_dir / "labels"),
+        "--out", str(out),
+        "--train", "0.5", "--val", "0.5", "--test", "0",
+    ])
+    assert (out / "train.csv").exists() and (out / "val.csv").exists()
+    assert not (out / "test.csv").exists()
+    rows = (out / "train.csv").read_text().strip().splitlines()
+    assert rows and all("," in r for r in rows)
