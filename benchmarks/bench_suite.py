@@ -98,6 +98,19 @@ def main():
     emit("int8_ptq_416_inference_throughput", B / mean, "images/sec/chip",
          {"batch": B})
 
+    # --- CSPDarknet-53 family, bf16 and int8 PTQ
+    csp = YOLOv3(ModelConfig(num_classes=80, backbone="cspdarknet53"))
+    cparams, cstats = csp.init(jax.random.PRNGKey(3))
+    cfolded = csp.fold(cparams, cstats)
+    pc = Predictor(csp, cfolded, image_size=416, use_pallas_nms=True)
+    p50, mean = timeit(lambda: pc.predict_batch(x), iters=15)
+    emit("csp_416_inference_throughput", B / mean, "images/sec/chip",
+         {"batch": B})
+    pc.quantize(np.asarray(x[:8], np.float32))
+    p50, mean = timeit(lambda: pc.predict_batch(x), iters=15)
+    emit("csp_int8_ptq_416_inference_throughput", B / mean,
+         "images/sec/chip", {"batch": B})
+
     # --- yolov3-tiny family (2-scale), bf16 and int8 PTQ
     tiny = YOLOv3(
         ModelConfig(num_classes=80, backbone="yolov3_tiny", strides=(32, 16))
