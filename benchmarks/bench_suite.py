@@ -146,6 +146,14 @@ def main():
     mean = throughput(lambda: p8.predict_batch(x), iters=15, warmup=1)
     emit("int8_ptq_416_inference_throughput", B / mean, "images/sec/chip",
          {"batch": B})
+    # unlike bf16 (which cliffs for every B>128), s8 layouts recover at
+    # 256+: the int8 throughput sweet spot is B=256-384 (RESULTS.md
+    # "int8 batch sweep"); B=128 above stays the apples-to-apples number
+    x256 = jnp.asarray(rng.uniform(0, 1, (256, 416, 416, 3)), jnp.bfloat16)
+    mean = throughput(lambda: p8.predict_batch(x256), iters=15, warmup=1)
+    emit("int8_ptq_416_inference_throughput_b256", 256 / mean,
+         "images/sec/chip", {"batch": 256})
+    del x256
 
     # --- CSPDarknet-53 family, bf16 and int8 PTQ
     csp = YOLOv3(ModelConfig(num_classes=80, backbone="cspdarknet53"))
