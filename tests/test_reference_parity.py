@@ -489,6 +489,259 @@ def _random_map_inputs(seed, n_images=6, n_classes=3, n_det=80, n_gt=40):
     return rows(n_det, True), rows(n_gt, False)
 
 
+# ---------------------------------------------------------------------------
+# COMPOSED end-to-end parity (round-4 seam closure)
+#
+# The stage tests above verify loader/forward, loss, IoU, decode, NMS and mAP
+# each in isolation. These two tests run the reference's *compositions* — the
+# eval pipeline (get_eval_boxes -> calc_mAP, code/utils.py:276-332,193-274)
+# and the demo predict pipeline (code/demo.py:30-66 + plot_original
+# un-letterbox math, code/utils.py:475-501) — end to end against ours on
+# shared synthetic weights, images and labels. The seams that live BETWEEN
+# stages (scaled-anchor conventions, per-scale box accumulation order,
+# GT-from-finest-scale, image-id bookkeeping, strict thresholds,
+# letterbox/un-letterbox geometry) are what these catch.
+#
+# Both forwards run in float64 (the reference model .double()'d) so drift
+# cannot flip a box across the conf/NMS thresholds — in f32 the two
+# backends' activation approximations compound to ~1e-3 over 75 layers (see
+# test_forward_parity_mish_f64's rationale), which is the same order as a
+# borderline score gap.
+# ---------------------------------------------------------------------------
+
+
+def _composition_fixtures(ref, tmp_path, num_classes, seed, size=160, n_images=4):
+    """Shared synthetic weights + images + targets for the composition tests.
+
+    Returns (my_model, params, stats, ref_model_f64, images (N,H,W,3) f64 in
+    [0,1], per-image box lists, per-scale target arrays, anchors (3,3,2)).
+    """
+    from yolo_for_turbines_tpu import config as mycfg
+    from yolo_for_turbines_tpu.data.dataset import assign_targets
+    from yolo_for_turbines_tpu.models.darknet_weights import load_darknet_weights
+
+    my_model, path = _export_synthetic(tmp_path, num_classes, seed=seed)
+    p0, s0 = my_model.init(jax.random.PRNGKey(seed + 100))
+    params, stats, _, _ = load_darknet_weights(path, my_model.plan, p0, s0)
+    ref_m = _load_ref_model(ref, path, num_classes).double()
+
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 1, (n_images, size, size, 3))
+    anchors = np.asarray(mycfg.ANCHORS, np.float32)  # (3, 3, 2) normalized
+    grid_sizes = tuple(size // s for s in (32, 16, 8))
+    per_image_boxes = []
+    per_scale_targets = [[] for _ in range(3)]
+    for _ in range(n_images):
+        m = int(rng.integers(1, 5))
+        boxes = np.zeros((m, 5))
+        boxes[:, 0:2] = rng.uniform(0.2, 0.8, (m, 2))
+        boxes[:, 2:4] = rng.uniform(0.08, 0.45, (m, 2))
+        boxes[:, 4] = rng.integers(0, num_classes, m)
+        per_image_boxes.append(boxes)
+        t = assign_targets(boxes, anchors.reshape(9, 2), grid_sizes)
+        for k in range(3):
+            per_scale_targets[k].append(t[k])
+    targets = [np.stack(ts) for ts in per_scale_targets]  # 3 x (N, 3, S, S, 6)
+    return my_model, params, stats, ref_m, images, per_image_boxes, targets, anchors
+
+
+def _assert_rows_match(mine, theirs, atol, n_cols=7):
+    """One-to-one tolerance matching of box-row sets.
+
+    Our eval pipeline decodes in f32 on device while the reference (run in
+    f64 here) carries f64 throughout, so paired rows differ by ~1e-7 float
+    noise — enough to destabilize any sort-then-compare on near-equal keys.
+    Greedy nearest-neighbour matching with consumption asserts the two sets
+    are equal up to `atol` without depending on a tie-safe ordering."""
+    mine = np.asarray(list(mine), np.float64).reshape(-1, n_cols)
+    theirs = np.asarray(list(theirs), np.float64).reshape(-1, n_cols)
+    assert mine.shape == theirs.shape
+    if len(mine) == 0:
+        return
+    n = len(mine)
+    d = np.empty((n, n))  # L-inf distances, chunked (full broadcast is ~650MB)
+    for s in range(0, n, 256):
+        d[s : s + 256] = np.abs(
+            mine[s : s + 256, None, :] - theirs[None, :, :]
+        ).max(-1)
+    used = np.zeros(len(theirs), bool)
+    for i in range(len(mine)):
+        j = int(np.argmin(np.where(used, np.inf, d[i])))
+        assert d[i, j] < atol, (
+            f"row {i} {mine[i]} has no unmatched counterpart within {atol}; "
+            f"closest {theirs[j]} at {d[i, j]}"
+        )
+        used[j] = True
+
+
+def test_eval_composition_matches_reference(ref, tmp_path):
+    """Full eval pipeline vs the executed reference: batched forward -> 3x
+    decode accumulated per image -> per-image NMS -> image-id-prefixed rows
+    -> GT from the finest-scale targets -> mAP. Asserts the prediction row
+    set, the GT row set, the host mAP, AND the device-bucketed mAP all agree
+    with reference get_eval_boxes + calc_mAP run on the same loader tensors
+    (code/utils.py:276-332, 193-274)."""
+    torch = ref.torch
+    num_classes = 2
+    (
+        my_model, params, stats, ref_m, images, _, targets, anchors
+    ) = _composition_fixtures(ref, tmp_path, num_classes, seed=21)
+
+    n = images.shape[0]
+    batches = [(images[i : i + 2], [t[i : i + 2] for t in targets]) for i in range(0, n, 2)]
+    # max_boxes above the 3*(S0^2+S1^2+S2^2)=1575 candidate count: the
+    # reference NMS is uncapped, so the fixed-shape K must not bind
+    max_boxes = 1600
+
+    ref_loader = [
+        (
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            [torch.from_numpy(np.asarray(t, np.float64)) for t in ts],
+        )
+        for x, ts in batches
+    ]
+    ref_preds, ref_trues = ref.utils.get_eval_boxes(
+        ref_loader,
+        ref_m,
+        iou_threshold=0.45,
+        anchors=anchors.tolist(),
+        obj_threshold=0.5,
+        box_format="center",
+        device="cpu",
+    )
+    ref_map = float(
+        ref.utils.calc_mAP(
+            ref_preds, ref_trues, iou_threshold=0.5, num_classes=num_classes
+        )
+    )
+
+    from yolo_for_turbines_tpu.ops.map import calc_map
+    from yolo_for_turbines_tpu.train.evaluate import (
+        evaluate_map_device,
+        get_eval_boxes,
+    )
+
+    state = types.SimpleNamespace(params=params, batch_stats=stats)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        my_preds, my_trues = get_eval_boxes(
+            batches,
+            my_model,
+            state,
+            anchors,
+            obj_threshold=0.5,
+            nms_iou_threshold=0.45,
+            max_boxes=max_boxes,
+            compute_dtype=jnp.float64,
+        )
+        my_map = calc_map(
+            my_preds, my_trues, iou_threshold=0.5, box_format="center",
+            num_classes=num_classes,
+        )
+        dev_map = evaluate_map_device(
+            batches,
+            my_model,
+            state,
+            anchors,
+            num_classes=num_classes,
+            obj_threshold=0.5,
+            max_boxes=max_boxes,
+            compute_dtype=jnp.float64,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    _assert_rows_match(my_preds, ref_preds, atol=1e-5)
+    _assert_rows_match(my_trues, ref_trues, atol=1e-5)
+
+    np.testing.assert_allclose(my_map, ref_map, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(dev_map, ref_map, rtol=1e-4, atol=1e-6)
+
+
+def test_demo_predict_composition_matches_reference(ref, tmp_path, monkeypatch):
+    """Full demo predict pipeline vs the executed reference: letterboxed
+    image -> forward -> 3x cells_to_boxes accumulated -> class-aware NMS ->
+    un-letterbox to the original frame.
+
+    streamlit is not installed here, so code/demo.py cannot be imported;
+    its predict() body (code/demo.py:30-66) is executed as the same sequence
+    of reference-utils calls with the demo's thresholds, and the
+    plot_original geometry (code/utils.py:475-501) is executed for real with
+    the plotting call intercepted to capture the adjusted boxes. Both sides
+    consume the SAME letterboxed pixels, so this isolates the composition
+    seams (anchor scaling, accumulation, NMS input, un-letterbox math)
+    rather than resampler differences. The original image is 231x317 so both
+    letterbox paddings are odd — the //2 floor in the pad math is load-
+    bearing on both sides."""
+    torch = ref.torch
+    num_classes = 80
+    size = 160
+    from yolo_for_turbines_tpu import config as mycfg
+    from yolo_for_turbines_tpu.data.augment import letterbox
+    from yolo_for_turbines_tpu.inference import Predictor
+    from yolo_for_turbines_tpu.models.darknet_weights import load_darknet_weights
+
+    my_model, path = _export_synthetic(tmp_path, num_classes, seed=31)
+    p0, s0 = my_model.init(jax.random.PRNGKey(131))
+    params, stats, _, _ = load_darknet_weights(path, my_model.plan, p0, s0)
+    ref_m = _load_ref_model(ref, path, num_classes).double()
+
+    rng = np.random.default_rng(31)
+    original = rng.integers(0, 256, (231, 317, 3), dtype=np.uint8)
+    resized, _ = letterbox(original, None, size)
+
+    # --- reference composition (demo.py:30-66 in reference-utils calls)
+    anchors = np.asarray(mycfg.ANCHORS, np.float64)
+    grid_sizes = np.asarray([size // 32, size // 16, size // 8], np.float64)
+    scaled_anchors = torch.from_numpy(anchors * grid_sizes.reshape(3, 1, 1))
+    x64 = (resized.astype(np.float64) / 255.0)[None]
+    with torch.no_grad():
+        out = ref_m(torch.from_numpy(x64.transpose(0, 3, 1, 2)))
+    bboxes = []
+    for i in range(3):
+        S = out[i].shape[2]
+        boxes_scale_i = ref.utils.cells_to_boxes(
+            out[i], scaled_anchors[i], grid_size=S, is_pred=True
+        )
+        bboxes += boxes_scale_i[0]
+    nms_boxes = ref.utils.non_max_suppression(
+        bboxes,
+        iou_threshold=0.45,
+        obj_threshold=mycfg.CONF_THRESHOLD,
+        box_format="center",
+    )
+    monkeypatch.setattr(
+        ref.utils, "plot_image_with_boxes", lambda img, boxes, class_list: boxes
+    )
+    ref_boxes = ref.utils.plot_original(
+        original, resized, nms_boxes, class_list=None
+    )
+
+    # --- our composition: the Predictor's single-image demo path
+    jax.config.update("jax_enable_x64", True)
+    try:
+        pred = Predictor(
+            my_model,
+            my_model.fold(params, stats),
+            anchors=anchors,
+            image_size=size,
+            conf_threshold=mycfg.CONF_THRESHOLD,
+            nms_iou_threshold=0.45,
+            max_boxes=1600,  # reference NMS is uncapped; K must not bind
+            compute_dtype=jnp.float64,
+            use_pallas_nms=False,
+        )
+        my_boxes = pred.predict_image(original)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    assert len(my_boxes) == len(ref_boxes) > 0
+    # fold_conv_bn computes w*g/sqrt(v+eps) in f32 (params/stats live in
+    # f32), so our f64 forward starts from f32-rounded weights: ~1e-4
+    # absolute drift vs the reference's unfolded BN is the expected floor
+    _assert_rows_match(my_boxes, ref_boxes, atol=5e-4, n_cols=6)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_map_matches_reference(ref, seed):
     """calc_map == the reference calc_mAP (code/utils.py:193-274) on random

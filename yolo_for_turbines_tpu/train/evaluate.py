@@ -35,15 +35,23 @@ _jitted_map_batched = jax.jit(
 
 @functools.lru_cache(maxsize=16)
 def make_eval_boxes_step(
-    model, compute_dtype=jnp.bfloat16, max_boxes: int = 256, max_gt: int = 128
+    model,
+    compute_dtype=jnp.bfloat16,
+    max_boxes: int = 256,
+    max_gt: int = 128,
+    obj_threshold: float = cfg.CONF_THRESHOLD,
+    nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
 ):
-    """Returns jitted fn(params, batch_stats, images, targets2, anchors,
-    conf, nms_iou) -> (kept (B,K,6), mask (B,K), true (B, max_gt, 6)).
+    """Returns jitted fn(params, batch_stats, images, targets2, anchors)
+    -> (kept (B,K,6), mask (B,K), true (B, max_gt, 6)).
 
-    Cached on (model, dtype, K, G): the model handle is a hashable frozen
-    dataclass, so repeated eval epochs reuse ONE jit (and its compiled
-    executables) instead of paying a fresh trace+compile per call — on the
-    TPU a full-model compile is ~90s (benchmarks/RESULTS.md).
+    Cached on (model, dtype, K, G, thresholds): the model handle is a
+    hashable frozen dataclass, so repeated eval epochs reuse ONE jit (and
+    its compiled executables) instead of paying a fresh trace+compile per
+    call — on the TPU a full-model compile is ~90s (benchmarks/RESULTS.md).
+    The thresholds are baked into the compiled NMS, so callers that pass
+    non-default values get a distinct executable rather than a silently
+    ignored argument.
 
     Ground truth is top-k'd by objectness ON DEVICE (real GT cells carry
     score 1.0, empty cells 0.0), so the host transfer is K+max_gt rows per
@@ -64,8 +72,8 @@ def make_eval_boxes_step(
         boxes = decode_all_scales(preds, scaled, grid_sizes)
         kept, mask = batched_nms(
             boxes,
-            iou_threshold=cfg.NMS_IOU_THRESHOLD,
-            obj_threshold=cfg.CONF_THRESHOLD,
+            iou_threshold=nms_iou_threshold,
+            obj_threshold=obj_threshold,
             max_boxes=max_boxes,
         )
         true = decode_scale(targets_fine, scaled[-1], grid_sizes[-1], is_pred=False)
@@ -84,6 +92,7 @@ def make_fused_eval_step(
     compute_dtype=jnp.bfloat16,
     max_boxes: int = 256,
     max_gt: int = 128,
+    nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
 ):
     """ONE jitted program per batch for the every-10th-epoch eval: forward
     once, then (a) the 4-term val loss, (b) accuracy counts, (c) decode +
@@ -116,8 +125,8 @@ def make_fused_eval_step(
         boxes = decode_all_scales(preds, scaled, grid_sizes)
         kept, mask = batched_nms(
             boxes,
-            iou_threshold=cfg.NMS_IOU_THRESHOLD,
-            obj_threshold=cfg.CONF_THRESHOLD,
+            iou_threshold=nms_iou_threshold,
+            obj_threshold=object_threshold,
             max_boxes=max_boxes,
         )
         true = decode_scale(
@@ -160,7 +169,10 @@ def get_eval_boxes(
 ) -> Tuple[List[List[float]], List[List[float]]]:
     """Collect [image_id, cx, cy, w, h, score, class] prediction/GT rows
     (output parity with reference code/utils.py:276-332)."""
-    step = make_eval_boxes_step(model, compute_dtype, max_boxes)
+    step = make_eval_boxes_step(
+        model, compute_dtype, max_boxes,
+        obj_threshold=obj_threshold, nms_iou_threshold=nms_iou_threshold,
+    )
     all_preds: List[List[float]] = []
     all_true: List[List[float]] = []
     data_idx = 0
@@ -285,7 +297,9 @@ def evaluate_map_device(
     K=256/G=128 — the image-bucketed layout is what makes device eval viable
     at real val-set sizes (the flat calc_map_device would need an
     (I*K, I*G) matrix)."""
-    step = make_eval_boxes_step(model, compute_dtype, max_boxes, max_gt)
+    step = make_eval_boxes_step(
+        model, compute_dtype, max_boxes, max_gt, obj_threshold=obj_threshold
+    )
     pred_rows, pred_ok, true_rows, true_ok = [], [], [], []
     for images, targets in loader:
         kept, mask, true = step(
