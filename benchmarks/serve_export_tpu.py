@@ -4,21 +4,29 @@ tests/test_serving.py proves the bundle/export surface on CPU (bitwise
 bundle round-trip, exported-vs-live equality, multi-platform lowering);
 this driver closes the remaining seam: the SAME .jaxexport blob a C++/PJRT
 binary would load actually *executes on TPU hardware*, agrees with the
-live Predictor, and serves at a competitive rate.
+live Predictor, and serves at a competitive rate — for BOTH serving modes:
 
-Flow: synthetic 80-class weights -> save_predictor_bundle ->
-add_export_to_bundle(batch, 416, platforms=(cpu,tpu)) ->
-ExportedPredictor.predict_batch on the chip vs the live bf16 Predictor
-(Pallas NMS) on the same batch -> survivor agreement + pipelined
-throughput for both.
+- bf16: the baseline apples-to-apples config (B=128).
+- int8 PTQ: the framework's FASTEST serving mode (quantize -> bundle with
+  both trees -> portable pure-XLA int8 export -> ExportedPredictor), at
+  B=128 and at the measured int8 sweet spot B=384 (RESULTS.md "int8 batch
+  sweep"). The deployment artifact for the best config is what a user
+  actually ships (reference hand-off seam: code/demo.py:16-21).
 
-Usage (TPU host): python benchmarks/serve_export_tpu.py
+Bundles are REBUILT from scratch every run (the round-3 advisor flagged
+that reusing a pre-existing /tmp bundle can silently A/B against blobs
+lowered from older model code), and the blob size is read via the
+manifest's export index, never a directory glob.
+
+Usage (TPU host): python benchmarks/serve_export_tpu.py [--mode bf16|int8|both]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -41,27 +49,25 @@ def throughput(f, iters=15, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main(batch: int = 128, out: str = "/tmp/serve_export_bundle"):
-    from yolo_for_turbines_tpu.config import ModelConfig
-    from yolo_for_turbines_tpu.inference import Predictor
-    from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+def build_and_run(live, batch, out, label):
+    """Fresh bundle -> export -> execute on chip -> A/B vs `live`."""
     from yolo_for_turbines_tpu.serving import (
         ExportedPredictor,
         add_export_to_bundle,
         save_predictor,
     )
 
-    model = YOLOv3(ModelConfig(num_classes=80))
-    params, stats = model.init(jax.random.PRNGKey(0))
-    folded = model.fold(params, stats)
-    live = Predictor(model, folded, image_size=416, use_pallas_nms=True)
-
     bundle = Path(out)
-    if not (bundle / "manifest.json").exists():
-        save_predictor(live, bundle)
-        add_export_to_bundle(bundle, batch_size=batch, image_size=416,
-                             platforms=("cpu", "tpu"))
-    exported = ExportedPredictor(bundle)
+    if bundle.exists():
+        shutil.rmtree(bundle)  # never A/B against a stale blob
+    save_predictor(live, bundle)
+    blob_path = add_export_to_bundle(
+        bundle, batch_size=batch, image_size=416, platforms=("cpu", "tpu")
+    )
+    manifest = json.loads((bundle / "manifest.json").read_text())
+    name = blob_path.name
+    assert name in manifest["exports"], "export must be manifest-indexed"
+    exported = ExportedPredictor(bundle, name=name)
 
     rng = np.random.default_rng(0)
     x32 = jnp.asarray(rng.uniform(0, 1, (batch, 416, 416, 3)), jnp.float32)
@@ -81,14 +87,44 @@ def main(batch: int = 128, out: str = "/tmp/serve_export_bundle"):
     t_live = throughput(lambda: live.predict_batch(xbf))
 
     print(json.dumps({
+        "mode": label,
         "platform": jax.devices()[0].platform,
         "batch": batch,
+        "quantized_export": bool(manifest["exports"][name]["quantized"]),
         "mask_agreement": round(mask_agree, 5),
         "kept_box_max_abs_diff": round(box_mad, 5),
         "exported_img_per_sec": round(batch / t_exp, 1),
         "live_img_per_sec": round(batch / t_live, 1),
-        "export_bytes": (bundle / "exports").glob("*.jaxexport").__next__().stat().st_size,
-    }))
+        "export_bytes": (bundle / "exports" / name).stat().st_size,
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["bf16", "int8", "both"], default="both")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--int8-batches", type=int, nargs="*", default=[128, 384])
+    args = ap.parse_args()
+
+    from yolo_for_turbines_tpu.config import ModelConfig
+    from yolo_for_turbines_tpu.inference import Predictor
+    from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+
+    model = YOLOv3(ModelConfig(num_classes=80))
+    params, stats = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(params, stats)
+
+    if args.mode in ("bf16", "both"):
+        live = Predictor(model, folded, image_size=416, use_pallas_nms=True)
+        build_and_run(live, args.batch, "/tmp/serve_export_bf16", "bf16")
+
+    if args.mode in ("int8", "both"):
+        rng = np.random.default_rng(1)
+        calib = rng.uniform(0, 1, (8, 416, 416, 3)).astype(np.float32)
+        live8 = Predictor(model, folded, image_size=416, use_pallas_nms=True)
+        live8.quantize(calib)
+        for b in args.int8_batches:
+            build_and_run(live8, b, f"/tmp/serve_export_int8_b{b}", "int8")
 
 
 if __name__ == "__main__":

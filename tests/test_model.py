@@ -22,11 +22,11 @@ def test_conv_block_shapes():
     rng = jax.random.PRNGKey(0)
     p, s = init_conv(rng, 3, 32, 3)
     x = jnp.zeros((2, 16, 16, 3))
-    y, _, _ = apply_conv_block(
+    y, _ = apply_conv_block(
         p, s, x, stride=1, padding=1, activation=leaky_relu, compute_dtype=jnp.float32
     )
     assert y.shape == (2, 16, 16, 32)
-    y, _, _ = apply_conv_block(
+    y, _ = apply_conv_block(
         p, s, x, stride=2, padding=1, activation=leaky_relu, compute_dtype=jnp.float32
     )
     assert y.shape == (2, 8, 8, 32)
@@ -46,7 +46,7 @@ def test_conv_block_matches_torch_conv_bn():
 
     p = {"w": jnp.asarray(w), "scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
     s = {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}
-    got, _, _ = apply_conv_block(
+    got, _ = apply_conv_block(
         p, s, jnp.asarray(x), stride=1, padding=1,
         activation=lambda v: v, compute_dtype=jnp.float32,
     )
@@ -69,7 +69,7 @@ def test_fold_conv_bn_equivalence():
     p, s = init_conv(rng, 3, 16, 3)
     s = {"mean": s["mean"] + 0.3, "var": s["var"] * 1.7}
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 3))
-    y_bn, _, _ = apply_conv_block(
+    y_bn, _ = apply_conv_block(
         p, s, x, stride=1, padding=1, activation=lambda v: v,
         compute_dtype=jnp.float32,
     )

@@ -149,7 +149,7 @@ class TestEndToEnd:
         )
 
         def cb(p, s, t, stride, padding):
-            y, _, _ = apply_conv_block(
+            y, _ = apply_conv_block(
                 p, s, t, stride=stride, padding=padding, activation=act,
                 train=True, compute_dtype=jnp.float32,
             )

@@ -117,6 +117,75 @@ def test_exported_module_matches_live(tmp_path, mini_pred, batch):
     np.testing.assert_array_equal(np.asarray(kept0), np.asarray(kept_e))
 
 
+def test_exported_quantized_matches_live_int8(tmp_path, mini_pred, batch):
+    """The int8 serving pipeline through the hermetic export (round-3
+    advisor: previously only the bf16 export had an A/B test): quantize ->
+    bundle with both trees -> multi-platform export -> ExportedPredictor
+    must reproduce the live int8 Predictor exactly, and the portable blob
+    must contain no Mosaic custom-calls."""
+    from yolo_for_turbines_tpu.serving import _portable_predictor
+
+    mini_pred.quantize(batch)
+    try:
+        kept0, mask0 = mini_pred.predict_batch(batch)  # live int8 path
+        out = save_predictor(mini_pred, tmp_path / "qe_bundle")
+        blob_path = add_export_to_bundle(
+            out, batch_size=2, platforms=("cpu", "tpu")
+        )
+        manifest = json.loads((out / "manifest.json").read_text())
+        assert manifest["exports"][blob_path.name]["quantized"] is True
+
+        # the portable clone pins the int8 router to pure XLA regardless of
+        # the exporting host's backend...
+        assert _portable_predictor(mini_pred)._portable_int8 is True
+        # ...so the multi-platform module has no TPU-only custom-calls
+        exp = jax.export.deserialize(blob_path.read_bytes())
+        assert set(p.lower() for p in exp.platforms) == {"cpu", "tpu"}
+        assert "tpu_custom_call" not in exp.mlir_module()
+
+        exported = ExportedPredictor(out)
+        assert exported.meta["quantized"] is True
+        kept_e, mask_e = exported.predict_batch(batch)
+        np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask_e))
+        np.testing.assert_array_equal(np.asarray(kept0), np.asarray(kept_e))
+    finally:
+        del mini_pred._qparams  # module-scoped fixture: restore bf16 path
+
+
+def test_save_predictor_overwrite_clears_stale_exports(tmp_path, mini_pred):
+    """Re-saving into an existing bundle dir resets the exports index, so
+    the stale blobs (lowered from whatever weights were there before) must
+    be deleted, not orphaned where a glob can pick them up."""
+    out = save_predictor(mini_pred, tmp_path / "owbundle")
+    blob_path = add_export_to_bundle(out, batch_size=1, platforms=("cpu",))
+    assert blob_path.exists()
+
+    out2 = save_predictor(mini_pred, tmp_path / "owbundle")
+    manifest = json.loads((out2 / "manifest.json").read_text())
+    assert manifest["exports"] == {}
+    assert not blob_path.exists()
+    assert list((out2 / "exports").rglob("*.jaxexport")) == []
+
+
+def test_exported_predictor_quantized_flag_mismatch(tmp_path, mini_pred, batch):
+    """An export recorded as quantized must refuse to run against a bundle
+    whose int8 tree is gone (clear error instead of an opaque pytree
+    flatten failure)."""
+    mini_pred.quantize(batch)
+    try:
+        out = save_predictor(mini_pred, tmp_path / "mmbundle")
+        add_export_to_bundle(out, batch_size=2, platforms=("cpu",))
+    finally:
+        del mini_pred._qparams
+    # doctor the bundle: drop the int8 tree but keep the quantized export
+    (out / "quantized.npz").unlink()
+    manifest = json.loads((out / "manifest.json").read_text())
+    del manifest["quantized_spec"]
+    (out / "manifest.json").write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="no quantized.npz"):
+        ExportedPredictor(out)
+
+
 def test_export_multiplatform_lowering(mini_pred):
     """A (cpu, tpu) export must lower from this CPU host: the portable
     pipeline may not touch Mosaic/Pallas (TPU-only at lowering time)."""

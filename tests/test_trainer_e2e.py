@@ -331,3 +331,50 @@ def test_fused_eval_matches_three_pass(synth_data):
     _, host_map = trainer_host.val_one_epoch(counting2, epoch=9, logger=_ListLogger())
     assert counting2.iters == 1
     assert host_map == pytest.approx(ref_map, abs=1e-5)
+
+
+def test_plain_val_epoch_device_accumulation(synth_data):
+    """Plain (non-eval) val epochs accumulate metrics on device with ONE
+    host sync at epoch end; the averages must equal the per-batch
+    float()-accumulation they replaced (round-4: val epochs paid a ~26 ms
+    tunnel RTT per metric per batch)."""
+    import yolo_for_turbines_tpu.train.trainer as trainer_mod
+    from yolo_for_turbines_tpu.data.loader import get_loaders
+
+    tc = TrainConfig(
+        lr=1e-3, batch_size=4, max_num_steps=10, warmup_enabled=False,
+        multi_scale=False, image_size=64, compute_dtype="float32",
+    )
+    trainer = trainer_mod.Trainer(
+        tc, model_cfg=ModelConfig(num_classes=2, layer_config=MINI_LAYERS)
+    )
+    # batch 2 over the 3-image val split: two RAGGED batches (2 + 1), so the
+    # device accumulation is exercised across batches of different shapes
+    _, val_loader, _ = get_loaders(
+        synth_data, batch_size=2, anchors=trainer.anchors, train=True,
+        image_folder=synth_data / "images",
+        annotation_folder=synth_data / "labels",
+        num_workers=2, image_size=64,
+    )
+
+    logger = _ListLogger()
+    val_loss, mAP = trainer.val_one_epoch(val_loader, epoch=0, logger=logger)
+    assert mAP is None  # plain epoch: no eval
+    logged = {}
+    for row in logger.rows:
+        logged.update(row)
+
+    # per-batch host accumulation (the replaced shape)
+    tots, n = {}, 0
+    for x, y in val_loader:
+        anchors = trainer_mod.scaled_anchors_for(
+            trainer.anchors, x.shape[1], trainer.model.strides
+        )
+        metrics = trainer.eval_step(trainer.state, x, y, anchors)
+        for k, v in metrics.items():
+            tots[k] = tots.get(k, 0.0) + float(v)
+        n += 1
+    assert n > 1
+    for k, v in tots.items():
+        assert logged[f"val_{k}"] == pytest.approx(v / n, rel=1e-6)
+    assert val_loss == pytest.approx(tots["loss"] / n, rel=1e-6)

@@ -140,6 +140,9 @@ class Predictor:
                 self.model.plan, params, x,
                 activation=self.model.cfg.activation, raw_heads=True,
                 compute_dtype=self.compute_dtype,
+                # set by serving._portable_predictor: multi-platform exports
+                # must stay pure XLA (no Mosaic custom-calls in the blob)
+                portable=getattr(self, "_portable_int8", False),
             )
             boxes = decode_raw_all(
                 raw, scaled_anchors, grid_sizes, self.model.cfg.num_classes
@@ -228,15 +231,28 @@ def load_predictor_from_checkpoint(
     conf_threshold: float = cfg.CONF_THRESHOLD,
     nms_iou_threshold: float = cfg.NMS_IOU_THRESHOLD,
     seed: int = 0,
+    backbone: str = "darknet53",
 ) -> Predictor:
     """Build a Predictor from an orbax training checkpoint (the serving
     analogue of the reference demo's pickled-model load, code/demo.py:16-28:
-    trained turbine weights rather than the official binary)."""
+    trained turbine weights rather than the official binary).
+
+    `backbone` must match the checkpoint's training backbone (darknet53 /
+    cspdarknet53 / yolov3_tiny) — the checkpoint's pytree structure is
+    backbone-shaped, so a mismatch fails inside orbax restore."""
     from .config import TrainConfig
     from .train.checkpoint import load_checkpoint
     from .train.steps import create_train_state
 
-    model = YOLOv3(cfg.ModelConfig(num_classes=num_classes, activation=activation))
+    strides = (32, 16) if backbone == "yolov3_tiny" else (32, 16, 8)
+    model = YOLOv3(
+        cfg.ModelConfig(
+            num_classes=num_classes,
+            activation=activation,
+            backbone=backbone,
+            strides=strides,
+        )
+    )
     state, _, _ = create_train_state(
         model, TrainConfig(), rng=jax.random.PRNGKey(seed)
     )

@@ -194,16 +194,20 @@ def apply_conv_block(
 ):
     """Conv -> BN -> activation (or conv + bias when no BN).
 
-    Returns (y, new_stats, batch_moments) where batch_moments is
-    (batch_mean, batch_var) in train mode (for cross-replica BN sync by the
-    caller) and None otherwise.
+    Returns (y, new_stats). No explicit cross-replica BN sync is needed (or
+    provided): under data-parallel pjit the batch axis is sharded, and the
+    `jnp.mean`/`jnp.sum` reductions inside `bn_batch_moments` reduce over
+    the GLOBAL batch — GSPMD inserts the collective. Batch moments are
+    therefore already replica-consistent by construction; a caller-side
+    sync hook would be redundant machinery around a mechanism XLA owns
+    (verified by the 8-device DP equivalence tests in tests/test_parallel.py).
     """
     w = params["w"].astype(compute_dtype)
     y = conv2d(x.astype(compute_dtype), w, stride, padding)
 
     if stats is None:
         y = y + params["b"].astype(compute_dtype)
-        return y, None, None
+        return y, None
 
     if train:
         moments = bn_batch_moments(y, shift=stats["mean"])
@@ -217,7 +221,7 @@ def apply_conv_block(
     # conv epilogue instead of read/writing full f32 activations
     y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)
     y = activation(y)
-    return y, new_stats, None
+    return y, new_stats
 
 
 def fold_conv_bn(params: Dict, stats: Dict) -> Dict:

@@ -130,8 +130,7 @@ def apply_csp_entry(entry: PlanCSP, p: Dict, s: Dict, x, conv):
 
 
 def _c(conv, p, s, x, kernel):
-    y, ns, _ = conv(p, s, x, kernel, 1)
-    return y, ns
+    return conv(p, s, x, kernel, 1)
 
 
 def fold_csp_entry(entry: PlanCSP, p: Dict, s: Dict, fold):

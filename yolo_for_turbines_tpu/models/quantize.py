@@ -268,11 +268,19 @@ def apply_inference_int8(
     activation: str = "leaky_relu",
     raw_heads: bool = False,
     compute_dtype=jnp.bfloat16,
+    portable: bool = False,
 ):
     """int8 twin of `yolov3.apply_inference` over `quantize_folded` output.
 
     x: (B, S, S, 3) float in [0, 1]. Returns the same predictions list as
     the bf16 path (heads computed in `compute_dtype`).
+
+    portable=True pins the pure-XLA formulation: the fused int8 Pallas
+    router is skipped regardless of backend or the measured-winner table.
+    Required for multi-platform `jax.export` blobs — the router's own gate
+    checks `jax.default_backend()` at TRACE time, so exporting from a TPU
+    host would otherwise embed Mosaic custom-calls in a ("cpu","tpu") blob
+    (round-3 advisor finding; asserted in tests/test_serving.py).
     """
     act = get_activation(activation)
     layers = qparams["layers"]
@@ -332,8 +340,12 @@ def apply_inference_int8(
             for _ in p["blocks"]:
                 s1_list.append(scales[next(si)])
                 s2_list.append(scales[next(si)])
-            fused = _fused_residual_stage_int8_or_none(
-                entry, p, xq, s_x, s1_list, s2_list, activation
+            fused = (
+                None
+                if portable
+                else _fused_residual_stage_int8_or_none(
+                    entry, p, xq, s_x, s1_list, s2_list, activation
+                )
             )
             if fused is not None:
                 xq = fused

@@ -402,13 +402,13 @@ def apply(
 
     for entry, p, s in zip(plan[start:], params[start:], batch_stats[start:]):
         if isinstance(entry, PlanConv):
-            x, ns, _ = conv(p["conv"], s["conv"], x, entry.kernel, entry.stride)
+            x, ns = conv(p["conv"], s["conv"], x, entry.kernel, entry.stride)
             new_stats.append({"conv": ns})
         elif isinstance(entry, PlanResidual):
             ns_blocks = []
             for bp, bs in zip(p["blocks"], s["blocks"]):
-                y, ns1, _ = conv(bp["conv1"], bs["conv1"], x, 1, 1)
-                y, ns2, _ = conv(bp["conv2"], bs["conv2"], y, 3, 1)
+                y, ns1 = conv(bp["conv1"], bs["conv1"], x, 1, 1)
+                y, ns2 = conv(bp["conv2"], bs["conv2"], y, 3, 1)
                 x = x + y if entry.use_residual else y
                 ns_blocks.append({"conv1": ns1, "conv2": ns2})
             new_stats.append({"blocks": ns_blocks})
@@ -420,8 +420,8 @@ def apply(
             if entry.save_route:
                 routes.append(x)
         elif isinstance(entry, PlanHead):
-            y, ns1, _ = conv(p["conv1"], s["conv1"], x, 3, 1)
-            y, ns2, _ = conv(p["conv2"], None, y, 1, 1)
+            y, ns1 = conv(p["conv1"], s["conv1"], x, 3, 1)
+            y, ns2 = conv(p["conv2"], None, y, 1, 1)
             preds.append(
                 _head_reshape(
                     y.astype(jnp.float32), entry.num_classes, entry.anchors_per_scale

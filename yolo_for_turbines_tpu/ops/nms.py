@@ -152,6 +152,14 @@ def non_max_suppression(
     Takes a list of [x, y, w, h, score, class] rows, returns the surviving
     rows sorted by descending score. Runs the fixed-shape device NMS under
     the hood.
+
+    WARNING — host-loop API, not for TPU serving: this dispatches
+    `nms_single` UNJITTED (op-by-op) and round-trips the survivors to host
+    per call. On a tunneled TPU host each of the ~10 op dispatches pays a
+    full RTT (~25 ms), so a per-image loop through this function costs
+    seconds per batch. It exists for reference-parity tests and host-side
+    (CPU) use; on-device pipelines must use `batched_nms` inside their jit
+    (the Predictor/eval paths already do).
     """
     import numpy as np
 

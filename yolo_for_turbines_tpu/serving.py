@@ -127,9 +127,18 @@ def _tuplify(x):
 
 
 def save_predictor(pred: Predictor, path) -> Path:
-    """Write `pred` (bf16 and, if quantized, int8 trees) as a bundle dir."""
+    """Write `pred` (bf16 and, if quantized, int8 trees) as a bundle dir.
+
+    Overwriting an existing bundle resets the manifest's exports index, so
+    any prior exports/*.jaxexport blobs (lowered from the OLD weights) are
+    deleted rather than left orphaned on disk where a glob could pick them
+    up (round-3 advisor finding)."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    if (path / "exports").is_dir():
+        import shutil
+
+        shutil.rmtree(path / "exports")
 
     folded_spec, folded_leaves = tree_to_spec(pred._folded_input)
     np.savez(path / "folded.npz", **folded_leaves)
@@ -236,6 +245,10 @@ def _portable_predictor(pred: Predictor) -> Predictor:
         compute_dtype=pred.compute_dtype,
         use_pallas_nms=False,
     )
+    # pin the int8 path to pure XLA too: its fused-kernel router gates on
+    # jax.default_backend() at trace time, which is the EXPORT host's
+    # backend, not the serving platform (round-3 advisor finding)
+    portable._portable_int8 = True
     if getattr(pred, "_qparams", None) is not None:
         portable._qparams = pred._qparams
     return portable
@@ -323,9 +336,20 @@ class ExportedPredictor:
             (bundle_path / "exports" / name).read_bytes()
         )
         # identical param materialization to the live Predictor so dtypes
-        # match the exported calling convention
+        # match the exported calling convention; the EXPORT's own recorded
+        # quantized flag picks the tree (not whichever tree happens to
+        # exist in the bundle — a bundle re-saved with different trees
+        # would otherwise fail with an opaque pytree-flatten error)
         pred = load_predictor_bundle(bundle_path, use_pallas_nms=False)
-        self._params = getattr(pred, "_qparams", None) or pred.folded_params
+        if self.meta.get("quantized"):
+            self._params = getattr(pred, "_qparams", None)
+            if self._params is None:
+                raise ValueError(
+                    f"export {name} was lowered for the int8 tree but "
+                    f"{bundle_path} has no quantized.npz"
+                )
+        else:
+            self._params = pred.folded_params
 
     def predict_batch(self, x) -> Tuple[np.ndarray, np.ndarray]:
         """x: (B, S, S, 3) f32 in [0, 1] with B, S matching the export."""

@@ -84,7 +84,9 @@ def main(argv=None) -> Path:
             kw["num_classes"] = args.num_classes
         if args.activation is not None:
             kw["activation"] = args.activation
-        pred = load_predictor_from_checkpoint(args.checkpoint, **kw)
+        pred = load_predictor_from_checkpoint(
+            args.checkpoint, backbone=args.backbone, **kw
+        )
 
     if args.quantize_calib_dir:
         import numpy as np

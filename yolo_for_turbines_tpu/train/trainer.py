@@ -203,8 +203,11 @@ class Trainer:
 
     def val_one_epoch(self, val_loader, epoch, logger):
         if (epoch + 1) % 10 != 0:
-            # plain epochs: loss-only pass
-            tots = {}
+            # plain epochs: loss-only pass. Metrics accumulate ON DEVICE
+            # and sync once at epoch end, mirroring train_one_epoch — a
+            # per-batch float(v) per metric costs a ~26 ms tunnel RTT each
+            # (5 metrics x 100 batches ≈ 13 s of pure RTT per val epoch)
+            dev_tots = None
             n = 0
             for x, y in val_loader:
                 anchors = scaled_anchors_for(
@@ -212,9 +215,15 @@ class Trainer:
                 )
                 x, y = self._put(x, y, shard=False)
                 metrics = self.eval_step(self.state, x, y, anchors)
-                for k, v in metrics.items():
-                    tots[k] = tots.get(k, 0.0) + float(v)
+                dev_tots = (
+                    metrics
+                    if dev_tots is None
+                    else jax.tree_util.tree_map(jnp.add, dev_tots, metrics)
+                )
                 n += 1
+            tots = (
+                {k: float(v) for k, v in dev_tots.items()} if dev_tots else {}
+            )
             avg = {f"val_{k}": v / max(n, 1) for k, v in tots.items()}
             logger.log(avg)
             return avg.get("val_loss", 0.0), None
