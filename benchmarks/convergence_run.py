@@ -50,11 +50,18 @@ def main():
                          "constant post-warmup lr=1e-3 oscillates on the "
                          "354-image overfit)")
     ap.add_argument("--mosaic", action="store_true")
+    ap.add_argument("--freeze-backbone", action="store_true",
+                    help="the reference's PRIMARY recipe (code/train.py:"
+                         "166-177): import a darknet53.conv.74 backbone "
+                         "(synthetic here — zero egress) and fine-tune with "
+                         "the backbone frozen; after training, asserts every "
+                         "frozen leaf is BITWISE unchanged in the written "
+                         "checkpoint")
     ap.add_argument("--early-stop", type=int, default=30)
     ap.add_argument("--num-workers", type=int, default=8)
     args = ap.parse_args()
 
-    from yolo_for_turbines_tpu.config import TrainConfig
+    from yolo_for_turbines_tpu.config import ModelConfig, TrainConfig
     from yolo_for_turbines_tpu.data.splits import create_csv_files
     from yolo_for_turbines_tpu.data.synthetic import generate_synthetic_dataset
     from yolo_for_turbines_tpu.train.trainer import train
@@ -78,9 +85,31 @@ def main():
         load_checkpoint=args.resume,
         decay_lr=args.decay_lr,
         warmup=args.warmup,
+        load_weights=args.freeze_backbone,
+        freeze_backbone=args.freeze_backbone,
     )
     model_dir = root / "models"
     model_dir.mkdir(parents=True, exist_ok=True)
+
+    weights_path = None
+    if args.freeze_backbone:
+        # synthetic stand-in for the official darknet53.conv.74 (egress-
+        # blocked): export a deterministic init through the darknet binary
+        # format; the loader parses the .conv.74 cutoff from the filename
+        # exactly as for the official file (code/model.py:169-170)
+        import jax
+
+        from yolo_for_turbines_tpu.models.darknet_weights import (
+            export_darknet_weights,
+        )
+        from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+
+        weights_path = root / "backbone.conv.74"
+        if not weights_path.exists():
+            m = YOLOv3(ModelConfig(num_classes=2, activation="mish"))
+            p, s = m.init(jax.random.PRNGKey(7))
+            export_darknet_weights(m.plan, p, s, str(weights_path))
+            print(f"exported synthetic backbone {weights_path}", flush=True)
 
     t0 = time.time()
     best = train(
@@ -93,8 +122,16 @@ def main():
         image_folder=root / "images",
         annotation_folder=root / "labels",
         num_workers=args.num_workers,
+        weights_path=weights_path,
     )
     wall = time.time() - t0
+
+    frozen_ok = None
+    if args.freeze_backbone:
+        frozen_ok = _check_frozen_leaves(
+            tc, weights_path,
+            model_dir / f"best_model_{args.identifier}.ckpt",
+        )
 
     metrics_file = (
         model_dir / f"YOLOv3_Turbine_Detection_{args.identifier}_metrics.jsonl"
@@ -105,13 +142,61 @@ def main():
             row = json.loads(line)
             if "mAP" in row:
                 traj.append(row["mAP"])
-    print(json.dumps({
+    out = {
         "best_mAP": best,
         "mAP_trajectory": [round(m, 4) for m in traj],
         "wall_clock_s": round(wall, 1),
         "steps": args.max_num_steps,
         "resumed": args.resume,
-    }))
+        "mosaic": args.mosaic,
+    }
+    if frozen_ok is not None:
+        out["frozen_leaves_bitwise_unchanged"] = frozen_ok
+    print(json.dumps(out))
+
+
+def _check_frozen_leaves(tc, weights_path, ckpt_path) -> bool:
+    """Assert every frozen backbone leaf in the trained checkpoint is
+    bitwise identical to the value loaded from the weight file."""
+    import jax
+    import numpy as np
+
+    from yolo_for_turbines_tpu.config import ModelConfig
+    from yolo_for_turbines_tpu.models.darknet_weights import (
+        load_darknet_weights,
+    )
+    from yolo_for_turbines_tpu.models.yolov3 import YOLOv3
+    from yolo_for_turbines_tpu.train.checkpoint import load_checkpoint
+    from yolo_for_turbines_tpu.train.steps import create_train_state
+
+    model = YOLOv3(ModelConfig(num_classes=2, activation=tc.activation))
+    # a DIFFERENT init seed than any training run used: unloaded leaves
+    # cannot spuriously match, loaded-and-frozen ones must
+    p0, s0 = model.init(jax.random.PRNGKey(1234))
+    params_ref, stats_ref, frozen, _ = load_darknet_weights(
+        str(weights_path), model.plan, p0, s0, freeze=True
+    )
+    state, _, _ = create_train_state(
+        model, tc, params=params_ref, batch_stats=stats_ref, frozen_mask=frozen
+    )
+    state = load_checkpoint(state, ckpt_path)
+
+    ref_leaves = jax.tree_util.tree_leaves(params_ref)
+    ckpt_leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    mask_leaves = jax.tree_util.tree_leaves(frozen)
+    assert len(ref_leaves) == len(ckpt_leaves) == len(mask_leaves)
+    n_frozen = 0
+    for ref, got, m in zip(ref_leaves, ckpt_leaves, mask_leaves):
+        if not m:
+            continue
+        n_frozen += 1
+        if not np.array_equal(np.asarray(ref), np.asarray(got)):
+            print(f"FROZEN LEAF CHANGED: shape {np.asarray(ref).shape}",
+                  flush=True)
+            return False
+    assert n_frozen > 0, "freeze mask is empty — nothing was frozen"
+    print(f"{n_frozen} frozen leaves bitwise unchanged", flush=True)
+    return True
 
 
 if __name__ == "__main__":
