@@ -71,7 +71,12 @@ def build_and_run(live, batch, out, label):
 
     rng = np.random.default_rng(0)
     x32 = jnp.asarray(rng.uniform(0, 1, (batch, 416, 416, 3)), jnp.float32)
-    xbf = x32.astype(jnp.bfloat16)
+    # bf16 feed is the standard bf16 serving config; the int8 path
+    # requantizes its input from whatever dtype arrives, so the live side
+    # must see the SAME f32 tensor as the export or the input int8 codes
+    # (round(x/s)) differ at bf16-rounding boundaries and pollute the A/B
+    quantized = bool(manifest["exports"][name]["quantized"])
+    xbf = x32 if quantized else x32.astype(jnp.bfloat16)
 
     ek, em = exported.predict_batch(x32)
     lk, lm = live.predict_batch(xbf)
