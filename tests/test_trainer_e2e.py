@@ -118,6 +118,18 @@ def test_get_eval_boxes_with_loader(synth_data):
     mAP = evaluate_map(loader, model, state, cfg.TURBINE_ANCHORS, num_classes=2)
     assert 0.0 <= mAP <= 1.0
 
+    # threshold threading (round 4): non-default thresholds must reach the
+    # compiled NMS, not silently fall back to the config constants. With a
+    # random-init mini model, scores cluster just above 0.5, so a 0.999
+    # objectness gate must kill every prediction row.
+    preds_hi, _ = get_eval_boxes(
+        loader, model, state, cfg.TURBINE_ANCHORS,
+        obj_threshold=0.999, compute_dtype=jnp.float32,
+    )
+    assert preds_hi == []
+    for row in preds:
+        assert row[5] > cfg.CONF_THRESHOLD  # default gate did apply
+
 
 def test_hpo_adapter_resumes(synth_data, tmp_path):
     """ASHA adapter: epochs accumulate across rungs via resume_state."""
