@@ -132,6 +132,77 @@ def test_hsv_shift_identity():
     assert np.abs(out.astype(np.int16) - img.astype(np.int16)).max() <= 1
 
 
+# ---------------------------------------------------------------------------
+# Mosaic cutout sampler
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w, phase=0.0):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [255 * x / w, 255 * y / h,
+         128 + 100 * np.sin(x / 17 + phase) * np.cos(y / 13)],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_mosaic_native_matches_numpy():
+    """Both pixel backends consume the identical rng stream and box math:
+    boxes must be BIT-identical; pixels (bilinear vs PIL antialias) within
+    +-1 on smooth content. Mixed source sizes exercise quadrant overlap
+    clipping (small images leave 255-padded canvas inside the window)."""
+    from yolo_for_turbines_tpu.data.mosaic import mosaic_augmentation
+    from yolo_for_turbines_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    imgs = [_smooth(480, 640), _smooth(640, 480, 1.0),
+            _smooth(123, 77, 2.0), _smooth(300, 300, 3.0)]
+    anns = [np.array([[0.5, 0.5, 0.4, 0.4, 0]]),
+            np.array([[0.2, 0.3, 0.2, 0.2, 1]]),
+            np.array([[0.5, 0.5, 0.9, 0.9, 0]]),
+            np.zeros((0, 5))]
+    for seed in range(6):
+        a_img, a_box = mosaic_augmentation(
+            imgs, anns, 416, np.random.default_rng(seed), use_native=True)
+        b_img, b_box = mosaic_augmentation(
+            imgs, anns, 416, np.random.default_rng(seed), use_native=False)
+        if isinstance(a_img, int):  # sentinel: both paths must agree
+            assert isinstance(b_img, int)
+            continue
+        assert np.array_equal(a_box, b_box), seed
+        assert a_img.shape == b_img.shape == (416, 416, 3)
+        assert a_img.dtype == np.uint8
+        d = np.abs(a_img.astype(np.int16) - b_img.astype(np.int16))
+        # +-1 everywhere except isolated edge pixels of UPSCALED quadrants,
+        # where PIL's and the classic half-pixel bilinear's border handling
+        # differ by one more quantization step
+        assert d.max() <= 2, (seed, d.max())
+        assert (d > 1).mean() < 1e-4, seed
+        assert d.mean() < 0.5, (seed, d.mean())
+
+
+def test_mosaic_native_pad_regions_exact():
+    """Canvas pixels no quadrant image covers must be exactly 255 in both
+    backends (tiny sources leave most of the window padded)."""
+    from yolo_for_turbines_tpu.data.mosaic import mosaic_augmentation
+    from yolo_for_turbines_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    imgs = [_smooth(40, 20, i) for i in range(4)]  # resize to (128, 64)
+    anns = [np.array([[0.5, 0.5, 0.8, 0.8, 0]]) for _ in range(4)]
+    size = 128
+    a_img, _ = mosaic_augmentation(
+        imgs, anns, size, np.random.default_rng(0), use_native=True)
+    b_img, _ = mosaic_augmentation(
+        imgs, anns, size, np.random.default_rng(0), use_native=False)
+    pad = b_img == 255
+    assert pad.any()  # the scenario actually has padding in-window
+    assert np.all(a_img[pad] == 255)
+
+
 def test_letterbox_rounding_half_to_even_matches_python():
     """Exact .5 scale products: the C++ letterbox must round half-to-even
     like Python round() so pixel geometry stays aligned with the box

@@ -10,6 +10,17 @@ Geometry matches the reference (reference: code/utils.py:503-662):
    code/utils.py:599-600 -- we follow the code), up to 10 attempts to find a
    cutout intersecting at least one box; return (-1, -1) sentinel otherwise.
 4. clip boxes to the cutout, rescale to cutout-normalized cxcywh.
+
+Box math and the rng stream live entirely in this module, so labels are
+bit-identical between the two pixel backends:
+- native C++ (native/packer.cpp::mosaic_cutout): samples only the pixels
+  inside the cutout window -- the full-canvas compose spends 3/4 of its
+  resample work on pixels the cutout never sees (46 -> ~2 ms/sample,
+  benchmarks/RESULTS.md "mosaic input path").
+- numpy/PIL fallback: the literal reference geometry (resize all 4, build
+  the canvas, slice), used when no C++ toolchain is available.
+Pixel work is also deferred until a cutout is FOUND, so sentinel returns
+(~no-box draws) never pay for resizes on either backend.
 """
 
 from __future__ import annotations
@@ -21,11 +32,18 @@ import numpy as np
 from .augment import resize_longest
 
 
+def _resized_dims(h: int, w: int, size: int) -> Tuple[int, int]:
+    """(nh, nw) of resize_longest -- same Python round() (half-to-even)."""
+    scale = size / max(h, w)
+    return max(1, round(h * scale)), max(1, round(w * scale))
+
+
 def mosaic_augmentation(
     imgs: Sequence[np.ndarray],
     anns: Sequence,
     size: int,
     rng: Optional[np.random.Generator] = None,
+    use_native: bool = True,
 ):
     """Build one mosaic sample from 4 (image, yolo-boxes) pairs.
 
@@ -34,6 +52,8 @@ def mosaic_augmentation(
         anns: 4 box lists, each (M, 5) normalized [cx, cy, w, h, class].
         size: output cutout side length.
         rng: numpy Generator (new default_rng if None).
+        use_native: route pixel composition through the C++ cutout sampler
+            when the library is available (labels are identical either way).
 
     Returns:
         (cutout, boxes): (size, size, 3) uint8 and (M', 5) boxes normalized
@@ -47,46 +67,38 @@ def mosaic_augmentation(
         for a in anns
     ]
 
-    # 1. Resize; boxes stay normalized to each quadrant, then halve to be
-    # relative to the 2x-size mosaic.
-    resized = []
+    # 1.+2. Geometry and box placement only (no pixel work yet). Box
+    # centers/sizes are relative to the *resized quadrant*, which occupies
+    # exactly half the canvas in each dim after top-left-anchored placement.
+    offsets = [(0, 0), (0, size), (size, 0), (size, size)]  # (oy, ox)
+    geoms: List[Tuple[int, int]] = []
+    all_boxes = []
     for i in range(4):
-        im = resize_longest(imgs[i], size)
+        h, w = imgs[i].shape[:2]
+        nh, nw = _resized_dims(h, w, size)
+        geoms.append((nh, nw))
         boxes = anns[i].copy()
         if len(boxes):
-            # box centers/sizes are relative to the *resized quadrant*, which
-            # occupies exactly half the canvas in each dim after placement
-            h, w = im.shape[:2]
-            boxes[:, 0] = boxes[:, 0] * w / (2 * size)
-            boxes[:, 1] = boxes[:, 1] * h / (2 * size)
-            boxes[:, 2] = boxes[:, 2] * w / (2 * size)
-            boxes[:, 3] = boxes[:, 3] * h / (2 * size)
-        resized.append((im, boxes))
-
-    canvas = np.full((2 * size, 2 * size, 3), 255, dtype=np.uint8)
-    offsets = [(0, 0), (0, size), (size, 0), (size, size)]
-    all_boxes = []
-    for (im, boxes), (oy, ox) in zip(resized, offsets):
-        h, w = im.shape[:2]
-        canvas[oy : oy + h, ox : ox + w] = im
-        if len(boxes):
-            boxes = boxes.copy()
-            boxes[:, 0] += ox / (2 * size)
-            boxes[:, 1] += oy / (2 * size)
+            oy, ox = offsets[i]
+            boxes[:, 0] = boxes[:, 0] * nw / (2 * size) + ox / (2 * size)
+            boxes[:, 1] = boxes[:, 1] * nh / (2 * size) + oy / (2 * size)
+            boxes[:, 2] = boxes[:, 2] * nw / (2 * size)
+            boxes[:, 3] = boxes[:, 3] * nh / (2 * size)
             all_boxes.append(boxes)
     if not all_boxes:
         return -1, -1
     new_boxes = np.concatenate(all_boxes)
 
     # 3. Random cutout (top-left in 20-30% of the canvas), <=10 attempts.
-    cutout = None
     found = False
+    x = y = 0.0
+    x_pixel = y_pixel = 0
+    kept = None
     for _ in range(10):
         x = rng.uniform(0.2, 0.3)
         y = rng.uniform(0.2, 0.3)
         x_pixel = int(x * 2 * size)
         y_pixel = int(y * 2 * size)
-        cutout = canvas[y_pixel : y_pixel + size, x_pixel : x_pixel + size]
 
         # top-left xywh in canvas-normalized coords
         tl = new_boxes.copy()
@@ -103,6 +115,21 @@ def mosaic_augmentation(
             break
     if not found:
         return -1, -1
+
+    # Pixels, now that the window is known: native cutout-window sampler or
+    # the full-canvas numpy compose.
+    cutout = None
+    if use_native:
+        from ..native import mosaic_cutout
+
+        cutout = mosaic_cutout(imgs, geoms, size, y_pixel, x_pixel)
+    if cutout is None:
+        canvas = np.full((2 * size, 2 * size, 3), 255, dtype=np.uint8)
+        for im, (oy, ox) in zip(imgs, offsets):
+            im = resize_longest(im, size)
+            h, w = im.shape[:2]
+            canvas[oy : oy + h, ox : ox + w] = im
+        cutout = canvas[y_pixel : y_pixel + size, x_pixel : x_pixel + size]
 
     # 4. Clip kept (top-left xywh) boxes to the cutout window [x, x+.5] x [y, y+.5].
     b = kept

@@ -261,9 +261,77 @@ void train_augment_one(const uint8_t* src, int sh, int sw, float* dst,
   }
 }
 
+// Mosaic cutout compose: sample ONLY the (size, size) cutout window of the
+// 2x2 mosaic canvas, straight from the 4 source images. The reference (and
+// the numpy fallback, data/mosaic.py) resizes all 4 images and composes the
+// full (2*size)^2 canvas before slicing a (size)^2 window out of it
+// (reference: code/utils.py:566-604) -- 3/4 of that resample work never
+// reaches the output. Quadrant q (row-major: 0 TL, 1 TR, 2 BL, 3 BR) holds
+// srcs[q] resized to (nhs[q], nws[q]), top-left anchored at
+// (oy, ox) = (size*(q/2), size*(q%2)); canvas pixels no image covers are
+// 255. Output pixel (y, x) is canvas pixel (yp + y, xp + x). Resampling is
+// the same half-pixel-center bilinear as letterbox_one (PIL's downscale
+// adds antialiasing; pixel deltas are augmentation-noise level, and box
+// geometry stays in Python, identical for both paths).
+void mosaic_cutout_impl(const uint8_t** srcs, const int* shs, const int* sws,
+                        const int* nhs, const int* nws, int size, int yp,
+                        int xp, uint8_t* dst) {
+  std::memset(dst, 255, static_cast<size_t>(size) * size * 3);
+  for (int q = 0; q < 4; ++q) {
+    const int oy = size * (q / 2);
+    const int ox = size * (q % 2);
+    const int nh = nhs[q], nw = nws[q];
+    // overlap of the cutout window with this quadrant's image, in canvas
+    // coordinates
+    const int gy0 = std::max(yp, oy), gy1 = std::min(yp + size, oy + nh);
+    const int gx0 = std::max(xp, ox), gx1 = std::min(xp + size, ox + nw);
+    if (gy0 >= gy1 || gx0 >= gx1) continue;
+    const int sh = shs[q], sw = sws[q];
+    const uint8_t* src = srcs[q];
+    if (nh == sh && nw == sw) {  // no resize: direct copy rows
+      for (int gy = gy0; gy < gy1; ++gy) {
+        const uint8_t* row = src + static_cast<size_t>(gy - oy) * sw * 3;
+        uint8_t* out =
+            dst + (static_cast<size_t>(gy - yp) * size + (gx0 - xp)) * 3;
+        std::memcpy(out, row + static_cast<size_t>(gx0 - ox) * 3,
+                    static_cast<size_t>(gx1 - gx0) * 3);
+      }
+      continue;
+    }
+    const AxisTab tx = make_axis(sw, nw);
+    const AxisTab ty = make_axis(sh, nh);
+    for (int gy = gy0; gy < gy1; ++gy) {
+      const int ly = gy - oy;
+      const uint8_t* r0 = src + static_cast<size_t>(ty.i0[ly]) * sw * 3;
+      const uint8_t* r1 = src + static_cast<size_t>(ty.i1[ly]) * sw * 3;
+      const float wy = ty.w[ly];
+      uint8_t* out =
+          dst + (static_cast<size_t>(gy - yp) * size + (gx0 - xp)) * 3;
+      for (int gx = gx0; gx < gx1; ++gx) {
+        const int lx = gx - ox;
+        const int x0 = tx.i0[lx] * 3, x1 = tx.i1[lx] * 3;
+        const float wx = tx.w[lx];
+        for (int ch = 0; ch < 3; ++ch) {
+          const float t0 = r0[x0 + ch] + (r0[x1 + ch] - r0[x0 + ch]) * wx;
+          const float t1 = r1[x0 + ch] + (r1[x1 + ch] - r1[x0 + ch]) * wx;
+          const float v = t0 + (t1 - t0) * wy;
+          out[(gx - gx0) * 3 + ch] = static_cast<uint8_t>(v + 0.5f);
+        }
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Mosaic cutout (see mosaic_cutout_impl). dst: uint8 (size, size, 3).
+void mosaic_cutout(const uint8_t** srcs, const int* shs, const int* sws,
+                   const int* nhs, const int* nws, int size, int yp, int xp,
+                   uint8_t* dst) {
+  mosaic_cutout_impl(srcs, shs, sws, nhs, nws, size, yp, xp, dst);
+}
 
 // Batched fused train augmentation: n images -> float32 (n, size, size, 3),
 // per-image 9-float param rows (see train_augment_one). Threaded across
