@@ -108,6 +108,11 @@ def main():
         if not weights_path.exists():
             m = YOLOv3(ModelConfig(num_classes=2, activation="mish"))
             p, s = m.init(jax.random.PRNGKey(7))
+            # bulk-fetch the tree in ONE device_get (async copies, one
+            # barrier) — the exporter converts leaves one at a time, and
+            # ~150 individual tiny transfers over the axon tunnel is where
+            # the round-4 first attempt hit a transient FAILED_PRECONDITION
+            p, s = jax.device_get((p, s))
             export_darknet_weights(m.plan, p, s, str(weights_path))
             print(f"exported synthetic backbone {weights_path}", flush=True)
 

@@ -67,11 +67,50 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self.use_pallas_nms = use_pallas_nms
         self.mesh = mesh
+        from .parallel.spatial import SPACE_AXIS
+
+        self._spatial = mesh is not None and SPACE_AXIS in mesh.axis_names
         if mesh is None:
             self._jitted = jax.jit(
                 functools.partial(self._pipeline),
                 static_argnames=("image_size",),
             )
+        elif self._spatial:
+            # Spatial partitioning (parallel/spatial.py): the image's ROWS
+            # shard over the "space" axis so N chips jointly hold one
+            # high-resolution activation. Plain jit with sharding
+            # annotations — NOT shard_map: every conv needs the halo rows
+            # of its neighbor shard, which only the GSPMD partitioner can
+            # derive and exchange; a shard_map body would zero-pad the
+            # shard boundary and compute wrong pixels.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.spatial import spatial_image_sharding
+
+            # Pallas kernels are per-shard custom calls GSPMD cannot
+            # partition across the row axis; the pure-XLA NMS/conv paths
+            # partition fine and are what SP uses.
+            self.use_pallas_nms = False
+            repl = NamedSharding(mesh, P())
+            x_sh = spatial_image_sharding(mesh)
+
+            # pjit rejects kwargs when in_shardings is given, so bind the
+            # static image_size per compiled bucket (same caching pattern
+            # as the shard_map branch below)
+            sp_cache = {}
+
+            def sp_jitted(params, x, *, image_size):
+                if image_size not in sp_cache:
+                    sp_cache[image_size] = jax.jit(
+                        functools.partial(
+                            self._pipeline, image_size=image_size
+                        ),
+                        in_shardings=(repl, x_sh),
+                        out_shardings=(repl, repl),
+                    )
+                return sp_cache[image_size](params, x)
+
+            self._jitted = sp_jitted
         else:
             # Multi-chip serving: the pipeline is embarrassingly parallel
             # per image (forward + decode + NMS, zero cross-image
@@ -177,7 +216,13 @@ class Predictor:
 
         With a mesh, B must be a multiple of the mesh size (pad ragged
         tails with parallel.mesh.pad_batch_to_multiple)."""
-        if self.mesh is not None:
+        if self.mesh is not None and self._spatial:
+            from .parallel.spatial import spatial_image_sharding
+
+            x = jax.device_put(
+                jnp.asarray(x), spatial_image_sharding(self.mesh)
+            )
+        elif self.mesh is not None:
             from .parallel.mesh import batch_sharding
 
             x = jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))

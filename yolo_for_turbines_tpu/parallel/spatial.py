@@ -1,0 +1,90 @@
+"""Spatial partitioning (SP): shard the image HEIGHT axis across devices.
+
+Data parallelism (parallel/mesh.py) scales by batch; spatial partitioning
+scales by IMAGE SIZE — the axis that matters for the reference's actual
+deployment. Turbine-blade inspection photos are far larger than the 416px
+training resolution, and the reference's demo simply resizes the full
+upload down to one 416px tile (reference: code/demo.py:30-41,
+code/utils.py:475-501), throwing away the resolution that small surface
+defects live in. With SP, one high-resolution image's rows are split
+across the mesh's "space" axis, so N chips jointly hold an activation
+footprint no single chip could, and inference at 2-4x the trained
+resolution becomes a mesh-shape change instead of an OOM.
+
+There is NO hand-written halo code here, and none is needed: the model is
+jitted with the input annotated `P("data", "space")` and XLA's GSPMD
+partitioner derives the halo exchange every conv/pool window needs at
+shard boundaries (a collective-permute of the 1-2 boundary rows over ICI
+per conv — tiny next to the activation traffic it saves). This is the
+idiomatic TPU formulation: annotate shardings, let the partitioner insert
+collectives. shard_map would be WRONG for SP — each shard would see a
+local H and silently compute zero-padded (wrong) boundary pixels.
+
+Row counts need not divide the mesh: GSPMD masks internal padding. The
+deepest 13x13 grid under 2-way SP pads one row; correctness is unaffected
+(tests/test_spatial.py asserts equivalence to the unsharded model).
+
+Composes with DP on a 2-D ("data", "space") mesh: batch shards over
+"data", rows over "space", gradients all-reduce over both axes. The train
+step (train/steps.py) accepts such a mesh directly — target grids shard
+their row axis in lockstep with the image rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+SPACE_AXIS = "space"
+
+
+def create_spatial_mesh(
+    n_space: Optional[int] = None,
+    n_data: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-D ("data", "space") mesh: batch over `n_data`, image rows over
+    `n_space` (defaults to all remaining devices). Pure SP is n_data=1;
+    pure DP should use parallel.mesh.create_mesh instead."""
+    if devices is None:
+        devices = jax.devices()
+    if n_space is None:
+        n_space = len(devices) // n_data
+    n = n_data * n_space
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_data, n_space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images: batch over "data", rows (H) over "space"."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+
+
+def spatial_target_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, A, S_row, S_col, 6) target grids: batch axis only.
+
+    The row axis is deliberately NOT sharded: the deepest grid has
+    image_size/32 rows (13 at 416px) which never divides a power-of-two
+    "space" axis, and device_put/jit input shardings require divisibility
+    (GSPMD pads only INTERNAL values). Targets are tiny (~4 KB/image vs
+    ~2 MB of image rows), so the partitioner all-gathering them against
+    the row-sharded predictions inside the loss costs nothing."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_spatial_batch(images, targets, mesh: Mesh):
+    """Place (images, per-scale target tuple) onto a ("data", "space")
+    mesh with matching row shardings."""
+    img_sh = spatial_image_sharding(mesh)
+    tgt_sh = spatial_target_sharding(mesh)
+    return (
+        jax.device_put(images, img_sh),
+        jax.tree_util.tree_map(lambda t: jax.device_put(t, tgt_sh), targets),
+    )

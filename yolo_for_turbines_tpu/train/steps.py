@@ -258,14 +258,35 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        img, tgt = _batch_shardings(mesh)
         return jax.jit(
             train_step,
-            in_shardings=(repl, data, (data, data, data), repl),
+            in_shardings=(repl, img, (tgt, tgt, tgt), repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _batch_shardings(mesh):
+    """(image, target) input shardings for a train/eval step on `mesh`.
+
+    A plain DP mesh shards only the batch axis. A ("data", "space") mesh
+    (parallel/spatial.py) additionally shards image ROWS over "space";
+    GSPMD derives the conv halo exchanges and reduces BN moments/gradients
+    over both axes. Targets stay batch-sharded (see
+    spatial_target_sharding for why their row axis cannot shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.spatial import SPACE_AXIS, spatial_target_sharding
+
+    if SPACE_AXIS in mesh.axis_names:
+        return (
+            NamedSharding(mesh, P("data", SPACE_AXIS)),
+            spatial_target_sharding(mesh),
+        )
+    data = NamedSharding(mesh, P("data"))
+    return data, data
 
 
 def make_eval_step(model: YOLOv3, cfg: TrainConfig, mesh=None):
@@ -297,10 +318,10 @@ def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        img, tgt = _batch_shardings(mesh)
         return jax.jit(
             eval_step,
-            in_shardings=(repl, data, (data, data, data), repl),
+            in_shardings=(repl, img, (tgt, tgt, tgt), repl),
             out_shardings=repl,
         )
     return jax.jit(eval_step)
