@@ -124,6 +124,19 @@ def main():
     p50, mean = timeit(lambda: p1.predict_batch(x1), iters=30)
     emit("single_image_e2e_latency_p50", p50 * 1e3, "ms")
 
+    # --- high-resolution inference (832px = 2x trained res, 26/52/104
+    # grids): the single-chip anchor for the spatial-partitioning story
+    # (parallel/spatial.py shards rows when one chip can't hold the
+    # activations; at 832 one v5e still can). B=32 matches the 416 B=128
+    # pixel volume. Same pipeline, no code path differences beyond shape.
+    B_hr = 32
+    x_hr = jnp.asarray(
+        rng.uniform(0, 1, (B_hr, 832, 832, 3)), jnp.bfloat16
+    )
+    mean = throughput(lambda: p.predict_batch(x_hr), iters=10)
+    emit("coco_832_inference_throughput", B_hr / mean, "images/sec/chip",
+         {"batch": B_hr, "mean_ms": round(mean * 1e3, 2)})
+
     # --- NMS-only latency (10647 candidate boxes -> K=256 survivors)
     # Two views of the same kernel:
     # (a) *_rtt: per-iteration sync — single-dispatch round-trip latency.

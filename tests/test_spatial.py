@@ -130,3 +130,69 @@ def test_spatial_train_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(x1), np.asarray(x2), rtol=2e-4, atol=2e-5
         )
+
+
+class _ListLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+class _SinkLogger:
+    def log(self, d):
+        pass
+
+
+def test_trainer_spatial_epoch_matches_single_device(rng):
+    """Trainer with a caller-supplied ("data", "space") mesh: the sharded
+    prefetch placement (callable path in prefetch_to_device) + DP x SP
+    train step over one epoch must match the single-device trainer."""
+    from helpers import MINI_LAYERS
+    from yolo_for_turbines_tpu.config import ModelConfig
+    from yolo_for_turbines_tpu.parallel.mesh import create_mesh
+    from yolo_for_turbines_tpu.train.trainer import Trainer
+
+    tc = TrainConfig(
+        lr=2e-4, batch_size=8, max_num_steps=100, warmup_enabled=False,
+        multi_scale=False, image_size=64, compute_dtype="float32",
+    )
+    model_cfg = ModelConfig(num_classes=2, layer_config=MINI_LAYERS)
+
+    images = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    targets = tuple(
+        np.zeros((8, 3, 64 // s, 64 // s, 6), np.float32)
+        for s in (32, 16, 8)
+    )
+    targets[0][:, 0, 1, 1] = [0.5, 0.5, 1.0, 1.0, 1.0, 1.0]
+    targets[1][:, 2, 0, 3] = [0.8, 0.2, 0.4, 0.4, 1.0, 1.0]
+    batches = [(images, targets)]
+
+    t1 = Trainer(tc, model_cfg=model_cfg, mesh=create_mesh(1))
+    tsp = Trainer(
+        tc, model_cfg=model_cfg,
+        mesh=create_spatial_mesh(n_space=2, n_data=4),
+    )
+    assert tsp._spatial
+    loss1 = t1.train_one_epoch(None, _ListLoader(batches), _SinkLogger())
+    loss2 = tsp.train_one_epoch(None, _ListLoader(batches), _SinkLogger())
+    assert loss2 == pytest.approx(loss1, rel=1e-3)
+    # Tolerances are the measured f32 noise floor, not a bug allowance:
+    # with an f64 oracle, the UNSHARDED f32 gradient of this loss at init
+    # is 0.70 (abs) from truth and the constrained sharded one 0.38 —
+    # i.e. both deviate ~1.3% of gradmax from different reduction orders
+    # alone, so one lr=2e-4 step moves params up to lr * |g-noise| ~ 1.5e-4
+    # apart. The historical failure mode this test guards (partitioner-
+    # chosen layouts breaking the BN backward, parallel.spatial.
+    # row_constraint) was 100x gradmax, i.e. 4 orders above this bar.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(tsp.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4
+        )

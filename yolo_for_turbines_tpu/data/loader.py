@@ -150,7 +150,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Move batches to device ahead of consumption (double-buffering).
 
     With a NamedSharding, batches are placed sharded across the mesh's data
-    axis (host->HBM transfer overlaps the previous step's compute).
+    axis (host->HBM transfer overlaps the previous step's compute). A
+    CALLABLE `sharding` is used as the placement function batch -> placed
+    batch (for meshes whose leaves need different shardings, e.g. spatial
+    partitioning: image rows shard, target rows can't — parallel/spatial.py).
     """
     import collections
 
@@ -159,6 +162,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     buf = collections.deque()
 
     def put(batch):
+        if sharding is not None and callable(sharding) and not isinstance(
+            sharding, jax.sharding.Sharding
+        ):
+            return sharding(batch)
         if sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch

@@ -278,7 +278,10 @@ def _s2d_stem_prefix(plan: Plan) -> int:
     return 0
 
 
-def _apply_stem_s2d(entries, params, batch_stats, x, act, train, compute_dtype):
+def _apply_stem_s2d(
+    entries, params, batch_stats, x, act, train, compute_dtype,
+    constrain=lambda t: t,
+):
     """Train/eval forward of the stem prefix in space-to-depth layout.
 
     Arithmetically identical to running the same entries through
@@ -308,13 +311,13 @@ def _apply_stem_s2d(entries, params, batch_stats, x, act, train, compute_dtype):
         if out_s2d:
             inv, shift = s2dm.tile4(inv), s2dm.tile4(shift)
         y = y * inv.astype(compute_dtype) + shift.astype(compute_dtype)
-        return act(y), new_s
+        return constrain(act(y)), new_s
 
     def wk(transform, p):
         return transform(p["w"].astype(compute_dtype))
 
     new_stats = []
-    xs = s2dm.space_to_depth(x)
+    xs = constrain(s2dm.space_to_depth(x))
 
     # conv0: 3x3/1 in s2d space
     p, s = params[0]["conv"], batch_stats[0]["conv"]
@@ -363,15 +366,23 @@ def apply(
     train: bool = False,
     compute_dtype=jnp.bfloat16,
     s2d_stem: bool = True,
+    constrain=None,
 ):
     """Forward pass. x is NHWC. Returns (predictions, new_batch_stats).
 
     predictions is a list of 3 arrays (B, 3, S, S, 5+C), float32, coarsest
     scale (stride 32) first.
+
+    `constrain` (optional) is applied to every intermediate activation —
+    used by the spatial-partitioning train/eval steps to pin each tensor's
+    row sharding explicitly (parallel.spatial.row_constraint; see the
+    numerics note there for why the partitioner must not choose freely).
     """
     from .cspdarknet import PlanCSP, apply_csp_entry
 
     act = get_activation(activation)
+    if constrain is None:
+        constrain = lambda t: t
     x = x.astype(compute_dtype)
     preds: List[jnp.ndarray] = []
     routes: List[jnp.ndarray] = []
@@ -379,7 +390,7 @@ def apply(
 
     def conv(p, s, x, entry_kernel, entry_stride):
         pad = 1 if entry_kernel == 3 else 0
-        return apply_conv_block(
+        y, ns = apply_conv_block(
             p,
             s,
             x,
@@ -389,6 +400,7 @@ def apply(
             train=train,
             compute_dtype=compute_dtype,
         )
+        return constrain(y), ns
 
     start = 0
     if s2d_stem and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
@@ -396,7 +408,7 @@ def apply(
         if start:
             x, stem_stats = _apply_stem_s2d(
                 plan[:start], params[:start], batch_stats[:start], x, act,
-                train, compute_dtype,
+                train, compute_dtype, constrain,
             )
             new_stats.extend(stem_stats)
 
@@ -432,14 +444,16 @@ def apply(
         elif isinstance(entry, PlanMaxPool):
             from .blocks import maxpool2d
 
-            x = maxpool2d(x, entry.kernel, entry.stride)
+            x = constrain(maxpool2d(x, entry.kernel, entry.stride))
             new_stats.append({})
         elif isinstance(entry, PlanRoute):
             routes.append(x)
             new_stats.append({})
         elif isinstance(entry, PlanUpsample):
-            x = upsample2x(x)
-            x = jnp.concatenate([x, routes.pop().astype(x.dtype)], axis=-1)
+            x = constrain(upsample2x(x))
+            x = constrain(
+                jnp.concatenate([x, routes.pop().astype(x.dtype)], axis=-1)
+            )
             new_stats.append({})
         else:
             raise TypeError(entry)
@@ -616,7 +630,10 @@ class YOLOv3:
     def init(self, rng):
         return init_plan(rng, self.plan, self.cfg.activation)
 
-    def apply(self, params, batch_stats, x, *, train=False, compute_dtype=jnp.bfloat16):
+    def apply(
+        self, params, batch_stats, x, *, train=False,
+        compute_dtype=jnp.bfloat16, constrain=None,
+    ):
         return apply(
             self.plan,
             params,
@@ -626,6 +643,7 @@ class YOLOv3:
             train=train,
             compute_dtype=compute_dtype,
             s2d_stem=self.cfg.s2d_stem,
+            constrain=constrain,
         )
 
     def fold(self, params, batch_stats):

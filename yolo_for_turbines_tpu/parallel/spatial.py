@@ -20,6 +20,11 @@ idiomatic TPU formulation: annotate shardings, let the partitioner insert
 collectives. shard_map would be WRONG for SP — each shard would see a
 local H and silently compute zero-padded (wrong) boundary pixels.
 
+Annotate does NOT mean "annotate only the inputs": in train mode the
+partitioner must not be left to choose intermediate layouts freely —
+see `row_constraint` below for the measured failure mode and the explicit
+per-activation policy the train/eval steps thread through the model.
+
 Row counts need not divide the mesh: GSPMD masks internal padding. The
 deepest 13x13 grid under 2-way SP pads one row; correctness is unaffected
 (tests/test_spatial.py asserts equivalence to the unsharded model).
@@ -41,6 +46,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS
 
 SPACE_AXIS = "space"
+
+# Rows per shard below which an activation's row axis is gathered back to
+# replicated instead of staying space-sharded. Two reasons, both measured:
+# (1) perf — a 3x3 conv needs a 1-row halo exchange per boundary; at <8
+# rows/shard the halo is >12% of the shard while the grid carries almost
+# no FLOPs, so sharding buys nothing; (2) numerics — XLA's partitioner
+# produces a genuinely wrong TRAIN-mode backward for the deep residual
+# stages when BN batch-moment reductions run over activations sharded to
+# 1-4 rows/shard on a combined ("data", "space") mesh (gradients ~100x too
+# large, isolated to the H<=8 residual stages of the 64px mini model;
+# f64-referenced: unsharded f32 grads match f64 to 0.2% while the
+# unconstrained sharded grads were off by 100x; with these constraints the
+# sharded grads return to the f32 noise floor). Explicit per-activation
+# constraints remove the partitioner's freedom to choose that regime.
+MIN_ROWS_PER_SHARD = 8
+
+
+def row_constraint(mesh: Mesh, min_rows: int = MIN_ROWS_PER_SHARD):
+    """Explicit activation-sharding policy for spatial partitioning.
+
+    Returns `constrain(x)` mapping an NHWC activation to itself annotated
+    with `P("data", "space")` while H holds >= `min_rows` rows per space
+    shard (and divides the axis), else `P("data")` (rows gathered). Returns
+    None when `mesh` has no space axis to constrain — callers pass the
+    result straight to models.yolov3.apply(constrain=...).
+    """
+    if SPACE_AXIS not in mesh.axis_names or mesh.shape[SPACE_AXIS] == 1:
+        return None
+    n_space = mesh.shape[SPACE_AXIS]
+    sharded = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    gathered = NamedSharding(mesh, P(DATA_AXIS))
+
+    def constrain(x):
+        if x.ndim < 2:
+            return x
+        h = x.shape[1]
+        if h % n_space == 0 and h >= min_rows * n_space:
+            return jax.lax.with_sharding_constraint(x, sharded)
+        return jax.lax.with_sharding_constraint(x, gathered)
+
+    return constrain
 
 
 def create_spatial_mesh(

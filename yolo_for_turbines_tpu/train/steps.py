@@ -223,6 +223,7 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
     compute_dtype = (
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
+    constrain = _row_constraint(mesh)
 
     # distinct __name__ so jax_log_compiles output (benchmarks/hpo_run.py's
     # compile counter) separates train from eval compiles
@@ -234,6 +235,7 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
                 images,
                 train=True,
                 compute_dtype=compute_dtype,
+                constrain=constrain,
             )
             total, comps = total_yolo_loss(preds, targets, scaled_anchors)
             return total, (new_stats, comps)
@@ -266,6 +268,20 @@ def _cached_train_step(model: YOLOv3, tx, compute_dtype_name: str, mesh):
             donate_argnums=(0,),
         )
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _row_constraint(mesh):
+    """Activation sharding policy for spatial meshes; None otherwise.
+
+    On a ("data", "space") mesh the model's intermediate activations MUST
+    carry explicit row shardings in train mode — left to propagation, the
+    partitioner picks a layout whose BN-moment backward is numerically
+    wrong at small rows/shard (see parallel.spatial.row_constraint)."""
+    if mesh is None:
+        return None
+    from ..parallel.spatial import row_constraint
+
+    return row_constraint(mesh)
 
 
 def _batch_shardings(mesh):
@@ -301,6 +317,8 @@ def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
         jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     )
 
+    constrain = _row_constraint(mesh)
+
     def eval_step(state: TrainState, images, targets, scaled_anchors):
         preds, _ = model.apply(
             state.params,
@@ -308,6 +326,7 @@ def _cached_eval_step(model: YOLOv3, compute_dtype_name: str, mesh):
             images,
             train=False,
             compute_dtype=compute_dtype,
+            constrain=constrain,
         )
         total, comps = total_yolo_loss(preds, targets, scaled_anchors)
         metrics = dict(comps)

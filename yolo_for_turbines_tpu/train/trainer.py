@@ -84,6 +84,12 @@ class Trainer:
                     n = d
             mesh = create_mesh(n)
         self.mesh = mesh
+        # caller-supplied ("data", "space") mesh => spatial partitioning:
+        # image rows shard over "space" (parallel/spatial.py); the batch
+        # must divide the mesh's data axis, image heights its space axis
+        from ..parallel.spatial import SPACE_AXIS
+
+        self._spatial = SPACE_AXIS in mesh.axis_names
         self.report_callback = report_callback
 
         rng = jax.random.PRNGKey(train_cfg.seed)
@@ -144,6 +150,10 @@ class Trainer:
     def _put(self, images, targets, shard: bool = True):
         batch = (np.asarray(images), tuple(np.asarray(t) for t in targets))
         if shard and self.mesh.devices.size > 1:
+            if self._spatial:
+                from ..parallel.spatial import shard_spatial_batch
+
+                return shard_spatial_batch(batch[0], batch[1], self.mesh)
             return shard_batch(batch, self.mesh)
         return batch
 
@@ -155,9 +165,14 @@ class Trainer:
         n = 0
         # double-buffered device placement: batch N+1's host->HBM transfer
         # (sharded over the mesh when DP) overlaps batch N's step
-        sharding = (
-            batch_sharding(self.mesh) if self.mesh.devices.size > 1 else None
-        )
+        if self.mesh.devices.size > 1 and self._spatial:
+            from ..parallel.spatial import shard_spatial_batch
+
+            sharding = lambda b: shard_spatial_batch(b[0], b[1], self.mesh)
+        elif self.mesh.devices.size > 1:
+            sharding = batch_sharding(self.mesh)
+        else:
+            sharding = None
         batches = prefetch_to_device(train_loader, size=2, sharding=sharding)
         # accumulate metrics ON DEVICE: a per-step float()/int() would force
         # a scalar device->host sync every step (~30% overhead at ~100ms
