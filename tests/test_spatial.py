@@ -38,6 +38,87 @@ def test_spatial_mesh_factory():
         create_spatial_mesh(n_space=8, n_data=2)
 
 
+def test_create_spatial_mesh_warns_on_idle_devices():
+    """An explicit sub-mesh (n_data * n_space < len(devices)) is allowed
+    for tests but must warn — production callers should not silently
+    strand chips."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="only the first 2 of 8"):
+        mesh = create_spatial_mesh(n_space=2, n_data=1)
+    assert mesh.devices.shape == (1, 2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # full cover: no warning
+        create_spatial_mesh(n_space=4, n_data=2)
+
+
+def test_spatial_predictor_pins_pure_xla(rng):
+    """A spatial-partitioning Predictor must pin EVERY Pallas router off,
+    not just NMS: apply_folded's fused-resblock router and the int8
+    router both emit Mosaic custom calls GSPMD cannot row-partition
+    (advisor r4 medium). CPU equivalence tests can't catch a TPU-only
+    router firing, so pin the policy itself."""
+    model = mini_model()
+    assert model.cfg.fuse_resblocks  # default ON -> must be overridden
+    params, stats = model.init(jax.random.PRNGKey(2))
+    folded = model.fold(params, stats)
+    mesh = create_spatial_mesh(n_space=4, n_data=2)
+    sp = Predictor(model, folded, image_size=64, mesh=mesh)
+    assert sp._spatial
+    assert sp.use_pallas_nms is False
+    assert sp.model.cfg.fuse_resblocks is False
+    assert getattr(sp, "_portable_int8", False) is True
+    # the plain predictor keeps the routers available
+    plain = Predictor(model, folded, image_size=64)
+    assert plain.model.cfg.fuse_resblocks is True
+    assert getattr(plain, "_portable_int8", False) is False
+
+
+def _spec_of(constrain, shape):
+    """Row-constraint decision for an activation shape, as a trailing-None
+    stripped PartitionSpec tuple."""
+    out = jax.jit(constrain)(jnp.zeros(shape, jnp.float32))
+    spec = tuple(out.sharding.spec)
+    while spec and spec[-1] is None:
+        spec = spec[:-1]
+    return spec
+
+
+def test_row_constraint_policy():
+    """Pin row_constraint's shard-vs-gather decision per activation shape
+    (parallel/spatial.py MIN_ROWS_PER_SHARD): H stays space-sharded only
+    while it divides the space axis AND holds >= 8 rows/shard. The
+    gathered regime exists because the unconstrained partitioner produced
+    ~100x-too-large BN gradients at <=4 rows/shard (f64-referenced, see
+    RESULTS.md "Spatial partitioning"); a future edit that re-enters that
+    regime must fail here."""
+    from yolo_for_turbines_tpu.parallel.mesh import create_mesh
+    from yolo_for_turbines_tpu.parallel.spatial import (
+        MIN_ROWS_PER_SHARD,
+        row_constraint,
+    )
+
+    assert MIN_ROWS_PER_SHARD == 8
+    mesh = create_spatial_mesh(n_space=4, n_data=2)
+    constrain = row_constraint(mesh)
+    sharded, gathered = ("data", SPACE_AXIS), ("data",)
+    # 416px activation ladder under 4-way SP (B, H, W, C):
+    assert _spec_of(constrain, (2, 416, 416, 4)) == sharded
+    assert _spec_of(constrain, (2, 104, 104, 8)) == sharded
+    assert _spec_of(constrain, (2, 52, 52, 8)) == sharded
+    assert _spec_of(constrain, (2, 32, 32, 8)) == sharded   # ==8 rows/shard
+    assert _spec_of(constrain, (2, 26, 26, 8)) == gathered  # 26 % 4 != 0
+    assert _spec_of(constrain, (2, 16, 16, 8)) == gathered  # 4 rows/shard
+    assert _spec_of(constrain, (2, 13, 13, 8)) == gathered  # deepest grid
+    assert _spec_of(constrain, (2, 8, 8, 8)) == gathered    # 2 rows/shard
+    # rank-1 leaves pass through untouched
+    v = jnp.zeros((7,), jnp.float32)
+    assert constrain(v) is v
+    # no space axis -> no policy to apply
+    assert row_constraint(create_mesh(4)) is None
+    assert row_constraint(create_spatial_mesh(n_space=1, n_data=8)) is None
+
+
 def test_spatial_forward_matches_single_device(rng):
     """Folded forward with rows sharded 4-way == unsharded forward,
     including the non-divisible deepest grid (128px -> 4 rows over 4

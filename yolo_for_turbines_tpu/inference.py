@@ -89,8 +89,21 @@ class Predictor:
 
             # Pallas kernels are per-shard custom calls GSPMD cannot
             # partition across the row axis; the pure-XLA NMS/conv paths
-            # partition fine and are what SP uses.
+            # partition fine and are what SP uses. That includes the
+            # fused-resblock router inside apply_folded and the int8
+            # router in apply_inference_int8 — on a TPU backend either
+            # would place a Mosaic custom call inside the row-partitioned
+            # jit (compile failure or a forced all-gather that defeats
+            # SP's memory scaling), so pin both pure-XLA here, mirroring
+            # serving._portable_predictor.
             self.use_pallas_nms = False
+            if self.model.cfg.fuse_resblocks:
+                import dataclasses as _dc
+
+                self.model = YOLOv3(
+                    _dc.replace(self.model.cfg, fuse_resblocks=False)
+                )
+            self._portable_int8 = True
             repl = NamedSharding(mesh, P())
             x_sh = spatial_image_sharding(mesh)
 

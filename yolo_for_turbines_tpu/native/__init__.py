@@ -165,8 +165,8 @@ def mosaic_cutout(
     """Compose the (size, size, 3) uint8 mosaic cutout directly from the 4
     source images, sampling only pixels inside the cutout window (the numpy
     path resizes all 4 images and builds the full (2*size)^2 canvas first --
-    3/4 of that work never reaches the output; measured 46 -> ~2 ms/sample,
-    benchmarks/RESULTS.md "mosaic input path").
+    3/4 of that work never reaches the output; measured 42.9 -> 3.5
+    ms/sample, benchmarks/RESULTS.md "mosaic input path").
 
     Args:
         images: 4 HWC uint8 source images.

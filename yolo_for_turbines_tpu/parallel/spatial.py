@@ -96,7 +96,12 @@ def create_spatial_mesh(
 ) -> Mesh:
     """2-D ("data", "space") mesh: batch over `n_data`, image rows over
     `n_space` (defaults to all remaining devices). Pure SP is n_data=1;
-    pure DP should use parallel.mesh.create_mesh instead."""
+    pure DP should use parallel.mesh.create_mesh instead.
+
+    When `n_space` is given explicitly and `n_data * n_space` covers only
+    part of the device list, the FIRST n_data*n_space devices are used and
+    the rest sit idle — deliberate for sub-meshes in tests, but warned
+    about so a production caller can't silently strand chips."""
     if devices is None:
         devices = jax.devices()
     if n_space is None:
@@ -104,6 +109,15 @@ def create_spatial_mesh(
     n = n_data * n_space
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if len(devices) > n:
+        import warnings
+
+        warnings.warn(
+            f"create_spatial_mesh(n_data={n_data}, n_space={n_space}) uses "
+            f"only the first {n} of {len(devices)} devices; the remaining "
+            f"{len(devices) - n} are idle",
+            stacklevel=2,
+        )
     arr = np.asarray(devices[:n]).reshape(n_data, n_space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
