@@ -13,6 +13,16 @@ Usage (on the TPU host):
   python benchmarks/convergence_run.py --max-num-steps 1650          # run 1
   python benchmarks/convergence_run.py --max-num-steps 3300 --resume # run 2
 
+The reference's FULL default recipe as one composition (BASELINE config #3:
+k-means custom anchors + darknet backbone import + mosaic + multi-scale +
+warmup, reference: code/train.py:166-197, code/config.py:34-57):
+  python benchmarks/convergence_run.py --kmeans-anchors --load-weights \
+      --mosaic --decay-lr --max-num-steps 700
+
+CSPDarknet53 (the reference README's roadmap goal, reference: README.md:40):
+  python benchmarks/convergence_run.py --backbone cspdarknet53 --mosaic \
+      --no-multi-scale --decay-lr --max-num-steps 550
+
 Prints the mAP trajectory parsed from the metrics JSONL at the end.
 Results are recorded in benchmarks/RESULTS.md ("TPU convergence run").
 """
@@ -50,6 +60,28 @@ def main():
                          "constant post-warmup lr=1e-3 oscillates on the "
                          "354-image overfit)")
     ap.add_argument("--mosaic", action="store_true")
+    ap.add_argument("--backbone", default="darknet53",
+                    choices=("darknet53", "cspdarknet53"),
+                    help="cspdarknet53 is the reference README's own "
+                         "roadmap goal (reference: README.md:40, 'mAP "
+                         ">= 0.60 with CSPDarknet53')")
+    ap.add_argument("--anchors", default=None,
+                    help="path to a tools/anchors.py JSON payload; the run "
+                         "then consumes CUSTOM k-means anchors for target "
+                         "assignment AND loss scaling, exactly as the "
+                         "reference consumes TURBINE_ANCHORS (reference: "
+                         "code/config.py:53-57, code/train.py:193-197)")
+    ap.add_argument("--kmeans-anchors", action="store_true",
+                    help="run the k-means++ anchor generator "
+                         "(tools/anchors.py) on this run's own label dir "
+                         "and train with the result -- the reference's "
+                         "full anchor workflow (notebook -> config -> "
+                         "train) as one composition")
+    ap.add_argument("--load-weights", action="store_true",
+                    help="import the (synthetic) darknet53.conv.74 "
+                         "backbone WITHOUT freezing (reference default "
+                         "recipe builds the model with weights_path, "
+                         "code/train.py:166-169)")
     ap.add_argument("--freeze-backbone", action="store_true",
                     help="the reference's PRIMARY recipe (code/train.py:"
                          "166-177): import a darknet53.conv.74 backbone "
@@ -75,6 +107,7 @@ def main():
             {"train": 0.85, "val": 0.15}, image_ext=".jpg",
         )
 
+    load_weights = args.load_weights or args.freeze_backbone
     tc = TrainConfig(
         lr=args.lr,
         batch_size=args.batch_size,
@@ -85,14 +118,54 @@ def main():
         load_checkpoint=args.resume,
         decay_lr=args.decay_lr,
         warmup=args.warmup,
-        load_weights=args.freeze_backbone,
+        load_weights=load_weights,
         freeze_backbone=args.freeze_backbone,
     )
     model_dir = root / "models"
     model_dir.mkdir(parents=True, exist_ok=True)
 
+    # ---- anchors: default COCO-derived TURBINE_ANCHORS, a JSON payload,
+    # or freshly k-means++'d from this run's own labels ----
+    import numpy as np
+
+    from yolo_for_turbines_tpu import config as cfg
+    anchors = np.asarray(cfg.TURBINE_ANCHORS, np.float32)
+    anchor_meta = {"anchors_source": "default TURBINE_ANCHORS"}
+    if args.kmeans_anchors:
+        from yolo_for_turbines_tpu.tools.anchors import (
+            group_by_scale,
+            kmeans_anchors,
+            load_wh_boxes,
+        )
+
+        whs = load_wh_boxes(root / "labels")
+        centroids, mean_iou = kmeans_anchors(whs, k=9)
+        anchors = np.asarray(group_by_scale(centroids), np.float32)
+        anchor_meta = {
+            "anchors_source": "kmeans++ on run labels",
+            "kmeans_mean_iou": round(mean_iou, 4),
+            "kmeans_num_boxes": int(len(whs)),
+        }
+        anchors_json = root / "anchors.json"
+        anchors_json.write_text(json.dumps({"anchors": anchors.tolist()}))
+    elif args.anchors:
+        payload = json.loads(Path(args.anchors).read_text())
+        anchors = np.asarray(payload["anchors"], np.float32)
+        anchor_meta = {"anchors_source": args.anchors}
+    if anchor_meta["anchors_source"] != "default TURBINE_ANCHORS":
+        # prove the custom anchors actually reach target assignment (the
+        # same anchors also scale the loss via Trainer.scaled_anchors_for
+        # by construction): encode real boxes from this dataset and
+        # independently recompute the expected best-anchor slot
+        anchor_meta.update(_assert_custom_anchor_assignment(anchors, root))
+
     weights_path = None
-    if args.freeze_backbone:
+    if load_weights:
+        if args.backbone != "darknet53":
+            raise SystemExit(
+                "--load-weights/--freeze-backbone import a darknet53."
+                "conv.74 backbone; the reference has no CSP weight file"
+            )
         # synthetic stand-in for the official darknet53.conv.74 (egress-
         # blocked): export a deterministic init through the darknet binary
         # format; the loader parses the .conv.74 cutoff from the filename
@@ -128,6 +201,8 @@ def main():
         annotation_folder=root / "labels",
         num_workers=args.num_workers,
         weights_path=weights_path,
+        anchors=anchors,
+        backbone=args.backbone,
     )
     wall = time.time() - t0
 
@@ -154,10 +229,71 @@ def main():
         "steps": args.max_num_steps,
         "resumed": args.resume,
         "mosaic": args.mosaic,
+        "multi_scale": not args.no_multi_scale,
+        "backbone": args.backbone,
+        "load_weights": load_weights,
+        "anchors": anchors.tolist(),
+        **anchor_meta,
     }
     if frozen_ok is not None:
         out["frozen_leaves_bitwise_unchanged"] = frozen_ok
     print(json.dumps(out))
+
+
+def _assert_custom_anchor_assignment(anchors, root) -> dict:
+    """Prove custom anchors reached the target encoder, two ways:
+
+    1. spot-check: for the FIRST box of each of the first 8 label files,
+       independently recompute argmax wh-IoU over the 9 custom anchors
+       (tools.anchors.iou_wh -- a different implementation than the
+       dataset's) and assert assign_targets placed obj=1 in exactly that
+       (scale, anchor, cell) slot (the first box always wins its best
+       anchor: nothing is taken yet).
+    2. divergence: assert the per-slot obj masks differ somewhere from the
+       default-TURBINE_ANCHORS encoding across those files (custom anchors
+       must CHANGE the assignment, or the composition proves nothing).
+    """
+    import numpy as np
+
+    from yolo_for_turbines_tpu import config as cfg
+    from yolo_for_turbines_tpu.data.dataset import assign_targets
+    from yolo_for_turbines_tpu.tools.anchors import iou_wh
+
+    flat = np.asarray(anchors, np.float64).reshape(-1, 2)
+    flat_default = np.asarray(cfg.TURBINE_ANCHORS, np.float64).reshape(-1, 2)
+    grid_sizes = (13, 26, 52)
+    n_checked, diverged = 0, False
+    for lbl in sorted((root / "labels").glob("*.txt"))[:8]:
+        rows = np.loadtxt(lbl)
+        rows = rows.reshape(1, -1) if rows.ndim == 1 else rows
+        boxes = np.roll(rows, shift=4, axis=1)
+        tgts = assign_targets(boxes, flat, grid_sizes)
+        x, y, w, h, _ = boxes[0]
+        best = int(np.argmax(iou_wh(np.asarray([[w, h]]), flat)[0]))
+        sc, ai = best // 3, best % 3
+        s = grid_sizes[sc]
+        i, j = min(int(s * y), s - 1), min(int(s * x), s - 1)
+        assert tgts[sc][ai, i, j, 4] == 1, (
+            f"{lbl.name}: best custom anchor {best} (scale {sc} slot {ai} "
+            f"cell {i},{j}) did not receive box 0"
+        )
+        n_checked += 1
+        tgts_default = assign_targets(boxes, flat_default, grid_sizes)
+        diverged = diverged or any(
+            not np.array_equal(a[..., 4], b[..., 4])
+            for a, b in zip(tgts, tgts_default)
+        )
+    assert n_checked > 0, "no label files to check"
+    assert diverged, (
+        "custom anchors produced identical assignments to the defaults on "
+        "every checked file -- the composition would prove nothing"
+    )
+    print(
+        f"custom-anchor assignment verified: {n_checked} files spot-checked, "
+        "assignment diverges from default anchors", flush=True,
+    )
+    return {"anchor_assignment_spot_checks": n_checked,
+            "anchor_assignment_diverges_from_default": True}
 
 
 def _check_frozen_leaves(tc, weights_path, ckpt_path) -> bool:

@@ -38,8 +38,17 @@ def generate_synthetic_dataset(
     max_objects: int = 3,
     seed: int = 0,
     quality: int = 90,
+    box_frac=(0.12, 0.35),
 ) -> Path:
-    """Write images/*.jpg + labels/*.txt under `root`. Returns root."""
+    """Write images/*.jpg + labels/*.txt under `root`. Returns root.
+
+    `box_frac`: object width range as a fraction of the short side. The
+    default makes objects several stride-8 cells wide at 416px; a small
+    range like (0.02, 0.045) on high-resolution sources (e.g. 1280x960)
+    produces defects that letterbox down to ~6-14px at 416 -- the regime
+    the reference's demo throws away by resizing every upload to one
+    416px tile (reference: code/demo.py:37-39) and that high-resolution
+    inference (benchmarks/hires_eval.py, parallel/spatial.py) recovers."""
     root = Path(root)
     img_dir, lbl_dir = root / "images", root / "labels"
     img_dir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +74,7 @@ def generate_synthetic_dataset(
         rows = []
         for _ in range(int(rng.integers(1, max_objects + 1))):
             cls = int(rng.integers(num_classes))
-            bw = int(rng.uniform(0.12, 0.35) * short)
+            bw = int(rng.uniform(*box_frac) * short)
             bh = int(bw * rng.uniform(0.7, 1.4))
             x0 = int(rng.uniform(0, w - bw))
             y0 = int(rng.uniform(0, h - bh))
@@ -73,10 +82,12 @@ def generate_synthetic_dataset(
             color = tuple(int(c) for c in rng.uniform(120, 255, 3))
             outline = tuple(max(0, c - 90) for c in color)
             box = (x0, y0, x0 + bw, y0 + bh)
+            # outline scales with the box so small defects aren't all edge
+            lw = max(1, min(3, bw // 12))
             if cls == 0:
-                draw.rectangle(box, fill=color, outline=outline, width=3)
+                draw.rectangle(box, fill=color, outline=outline, width=lw)
             else:
-                draw.ellipse(box, fill=color, outline=outline, width=3)
+                draw.ellipse(box, fill=color, outline=outline, width=lw)
             cx, cy = (x0 + bw / 2) / w, (y0 + bh / 2) / h
             rows.append(f"{cls} {cx:.6f} {cy:.6f} {bw / w:.6f} {bh / h:.6f}")
 

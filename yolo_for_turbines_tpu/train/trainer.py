@@ -479,9 +479,15 @@ def train(
                 if k in TrainConfig.__dataclass_fields__
             }
         )
+    # the anchors belong in the run config (the reference logs its whole
+    # hyperparam dict, code/train.py:164): a custom-anchor run (BASELINE
+    # config #3) must be auditable from the metrics file alone
+    run_config = json.loads(tc.to_json())
+    run_config["anchors"] = np.asarray(anchors, np.float32).tolist()
+    run_config["backbone"] = backbone
     logger = MetricsLogger(
         f"YOLOv3_Turbine_Detection_{identifier}",
-        config=json.loads(tc.to_json()),
+        config=run_config,
         out_dir=model_folder_path,
     )
     trainer = Trainer(
