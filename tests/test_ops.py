@@ -285,6 +285,54 @@ def test_batched_device_map_scales_to_1000_images(rng):
     assert got == pytest.approx(want, abs=1e-4)
 
 
+def test_batched_device_map_leading_other_class():
+    """Regression (round 5): slots before a class's first detection in the
+    shared global score order must carry precision 1 (the prepended-point
+    semantics), not 0. With class 1's det scoring highest, class 0's first
+    (perfect) det was integrated against a spurious precision-0 left height
+    and lost 1/(2*total_true) of AP: device said 0.75 where host says 1.0.
+    The random parity tests above missed it because they only trigger the
+    loss when a class's top-scored det is a TP — rare under their loose
+    box distributions, near-certain for a converged detector."""
+    from yolo_for_turbines_tpu.ops.map import calc_map_device_batched
+
+    preds = np.zeros((1, 4, 6), np.float32)
+    gts = np.zeros((1, 4, 6), np.float32)
+    pv = np.zeros((1, 4), bool)
+    gv = np.zeros((1, 4), bool)
+    gts[0, 0] = [0.3, 0.3, 0.2, 0.2, 1.0, 0]
+    gts[0, 1] = [0.7, 0.7, 0.2, 0.2, 1.0, 1]
+    gv[0, :2] = True
+    preds[0, 0] = [0.7, 0.7, 0.2, 0.2, 0.9, 1]  # TP class 1, top score
+    preds[0, 1] = [0.3, 0.3, 0.2, 0.2, 0.8, 0]  # TP class 0, after it
+    pv[0, :2] = True
+    want = calc_map(
+        [[0, *preds[0, 0]], [0, *preds[0, 1]]],
+        [[0, *gts[0, 0]], [0, *gts[0, 1]]], 0.5, "center", 2,
+    )
+    got = float(
+        calc_map_device_batched(preds, pv, gts, gv, iou_threshold=0.5,
+                                num_classes=2)
+    )
+    assert want == 1.0
+    assert got == pytest.approx(1.0, abs=1e-6)
+
+
+def test_batched_device_map_gt_replay_is_perfect(rng):
+    """GT-replay oracle: feeding the ground truth back as predictions must
+    score exactly 1.0 (this is what exposed the leading-slot bug)."""
+    from yolo_for_turbines_tpu.ops.map import calc_map_device_batched
+
+    preds, pv, gts, gv, _, _ = _random_bucketed_eval(
+        rng, n_img=6, n_cls=3, K=8, G=8, max_det=1, max_gt=6
+    )
+    got = float(
+        calc_map_device_batched(gts, gv, gts, gv, iou_threshold=0.5,
+                                num_classes=3)
+    )
+    assert got == pytest.approx(1.0, abs=1e-6)
+
+
 def test_batched_device_map_range_matches_host(rng):
     """Device COCO-range mAP == host calc_map_range threshold by threshold."""
     from yolo_for_turbines_tpu.ops.map import calc_map_device_range, calc_map_range

@@ -238,7 +238,17 @@ def calc_map_device_batched(
         fp_sorted = fp.reshape(-1)[flat_order]
         cum_tp = jnp.cumsum(tp_sorted)
         cum_fp = jnp.cumsum(fp_sorted)
-        precisions = cum_tp / jnp.maximum(cum_tp + cum_fp, 1e-16)
+        # Unlike the host/flat variants, this cumsum runs over ALL I*K slots
+        # (the flat order is shared across classes), so slots BEFORE the
+        # first class-c detection have cum_tp+cum_fp == 0. Their precision
+        # must be the prepended point's 1.0, not 0: the trapezoid into the
+        # first detection uses that slot as its left height, and a 0 there
+        # silently costs 1/(2*total_true) of AP whenever the class's
+        # top-scored detection is a TP (found round 5 via a GT-replay
+        # oracle scoring 0.977 instead of 1.0; see
+        # tests/test_ops.py::test_batched_device_map_leading_other_class).
+        seen = cum_tp + cum_fp
+        precisions = jnp.where(seen > 0, cum_tp / jnp.maximum(seen, 1e-16), 1.0)
         recalls = cum_tp / jnp.maximum(total_true, 1e-16)
         precisions = jnp.concatenate([jnp.ones(1), precisions])
         recalls = jnp.concatenate([jnp.zeros(1), recalls])
