@@ -8,6 +8,12 @@ forward -> decode -> NMS pipeline, and plot class/score-labelled boxes on the
 CLI:
     python -m yolo_for_turbines_tpu.tools.demo --weights weights/yolov3.weights \
         --image examples/Tram.jpg --out out.png
+Trained-model serving (the reference demo's actual deployment: a fine-tuned
+turbine model, code/demo.py:16-28 — there a pickled torch module, here an
+orbax checkpoint + its k-means anchors):
+    python -m yolo_for_turbines_tpu.tools.demo \
+        --checkpoint models/best_model_x.ckpt --anchors anchors.json \
+        --num-classes 2 --activation mish --image photo.jpg
 Streamlit (optional):
     streamlit run yolo_for_turbines_tpu/tools/demo.py -- --weights ...
 """
@@ -39,7 +45,20 @@ def predict(predictor: Predictor, np_image: np.ndarray, class_list):
 
 def run_cli(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--weights", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--weights", help="official darknet binary")
+    src.add_argument("--checkpoint",
+                     help="orbax training checkpoint (trained turbine "
+                          "model — the reference demo's deployment path, "
+                          "code/demo.py:16-28)")
+    ap.add_argument("--anchors", default=None,
+                    help="anchors JSON from tools/anchors.py or a "
+                         "convergence run; REQUIRED semantics for a "
+                         "--checkpoint trained with custom k-means anchors "
+                         "(defaults: COCO anchors for --weights, "
+                         "TURBINE_ANCHORS for --checkpoint)")
+    ap.add_argument("--backbone", default="darknet53",
+                    choices=("darknet53", "cspdarknet53", "yolov3_tiny"))
     ap.add_argument("--image", required=True)
     ap.add_argument("--out", default="prediction.png")
     ap.add_argument("--num-classes", type=int, default=cfg.NUM_COCO_CLASSES)
@@ -48,23 +67,46 @@ def run_cli(argv=None):
     ap.add_argument("--nms-iou", type=float, default=cfg.NMS_IOU_THRESHOLD)
     args = ap.parse_args(argv)
 
-    for path_arg, what in ((args.weights, "weights"), (args.image, "image")):
+    model_path = args.weights or args.checkpoint
+    for path_arg, what in ((model_path, "model"), (args.image, "image")):
         if not Path(path_arg).exists():
             print(f"error: {what} file not found: {path_arg}", file=sys.stderr)
             raise SystemExit(2)
 
+    anchors = None
+    if args.anchors:
+        import json
+
+        anchors = np.asarray(
+            json.loads(Path(args.anchors).read_text())["anchors"], np.float32
+        )
 
     class_list = (
         cfg.COCO_LABELS if args.num_classes == cfg.NUM_COCO_CLASSES
         else cfg.TURBINE_LABELS
     )
-    predictor = load_predictor(
-        args.weights,
-        num_classes=args.num_classes,
-        activation=args.activation,
-        conf_threshold=args.conf,
-        nms_iou_threshold=args.nms_iou,
-    )
+    if args.checkpoint:
+        from ..inference import load_predictor_from_checkpoint
+
+        predictor = load_predictor_from_checkpoint(
+            args.checkpoint,
+            num_classes=args.num_classes,
+            activation=args.activation,
+            anchors=anchors if anchors is not None else cfg.TURBINE_ANCHORS,
+            conf_threshold=args.conf,
+            nms_iou_threshold=args.nms_iou,
+            backbone=args.backbone,
+        )
+    else:
+        predictor = load_predictor(
+            args.weights,
+            num_classes=args.num_classes,
+            activation=args.activation,
+            anchors=anchors if anchors is not None else cfg.ANCHORS,
+            conf_threshold=args.conf,
+            nms_iou_threshold=args.nms_iou,
+            backbone=args.backbone,
+        )
     image = np.array(Image.open(args.image).convert("RGB"), dtype=np.uint8)
     rows, boxes = predict(predictor, image, class_list)
     for r in rows:
