@@ -50,6 +50,24 @@ def main():
     ap.add_argument("--num-workers", type=int, default=8)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse an existing checkpoint, eval only")
+    ap.add_argument("--finetune-size", type=int, default=0,
+                    help="after (or instead of) the base train, fine-tune "
+                         "the checkpoint at this FIXED resolution and eval "
+                         "the fine-tuned model per size. Round-5 finding: "
+                         "eval resolution only pays inside the trained "
+                         "scale range (416-608 buckets: 0.567@416 -> "
+                         "0.811@608 but 0.192@832); 2x extrapolation needs "
+                         "the target size in training")
+    ap.add_argument("--finetune-total-steps", type=int, default=2020,
+                    help="max_num_steps for the fine-tune run; the restored "
+                         "checkpoint resumes at its own step (~700), so the "
+                         "fine-tune gets total minus that. 2020 at bs=8 on "
+                         "the 354-image train split is ~30 epochs -> 3 mAP "
+                         "evals (the trainer evals every 10th epoch)")
+    ap.add_argument("--finetune-lr", type=float, default=1e-4)
+    ap.add_argument("--finetune-batch-size", type=int, default=8,
+                    help="832px at bs=8 is the same pixel volume per step "
+                         "as 416px at bs=32")
     args = ap.parse_args()
 
     import numpy as np
@@ -121,6 +139,39 @@ def main():
         print(json.dumps({"train_best_mAP_at_416": best,
                           "train_wall_s": round(wall, 1)}), flush=True)
 
+    # ---- optional fixed-resolution fine-tune from the checkpoint ----
+    ft_best = None
+    if args.finetune_size:
+        tc_ft = TrainConfig(
+            lr=args.finetune_lr,
+            batch_size=args.finetune_batch_size,
+            max_num_steps=args.finetune_total_steps,
+            multi_scale=False,
+            image_size=args.finetune_size,
+            cache_images=True,
+            load_checkpoint=True,
+        )
+        ft_id = f"{args.identifier}_ft{args.finetune_size}"
+        t0 = time.time()
+        ft_best = train(
+            tc_ft,
+            root,
+            model_dir,
+            identifier=ft_id,
+            early_stop=30,
+            checkpoint_name=ckpt.name,  # RESTORE source; best saved to ft_id
+            image_folder=root / "images",
+            annotation_folder=root / "labels",
+            num_workers=args.num_workers,
+            anchors=anchors,
+        )
+        ckpt = model_dir / f"best_model_{ft_id}.ckpt"
+        print(json.dumps({
+            "finetune_size": args.finetune_size,
+            "finetune_best_mAP": ft_best,
+            "finetune_wall_s": round(time.time() - t0, 1),
+        }), flush=True)
+
     # ---- same checkpoint, bucketed eval at each size ----
     import jax
 
@@ -159,6 +210,9 @@ def main():
         "per_size_val_mAP": per_size,
         "train_best_mAP_at_416": best,
         "train_wall_s": round(wall, 1),
+        "finetune_size": args.finetune_size or None,
+        "finetune_best_mAP": ft_best,
+        "checkpoint": str(ckpt),
         "anchors_source": "kmeans++ on run labels",
     }))
 
