@@ -78,6 +78,26 @@ def test_checker_tracks_anchor_content_not_position(driver, synth_root):
     assert meta["anchor_assignment_diverges_from_default"] is True
 
 
+def test_hires_driver_ft_surface():
+    """Pin the hi-res driver's fine-tune stage (VERDICT r4 item 5 follow-up):
+    the flags the round-5 hardware run used exist, the fine-tune restores
+    from the BASE checkpoint (load_checkpoint=True) at one FIXED resolution
+    (multi_scale=False), and the eval stage sweeps the same checkpoint
+    across sizes — so a future edit can't silently turn the '832 needs 832
+    training' receipt into a fresh-init run."""
+    src = (_DRIVER.parent / "hires_eval.py").read_text()
+    for flag in ("--finetune-size", "--finetune-total-steps",
+                 "--finetune-lr", "--finetune-batch-size",
+                 "--skip-train", "--eval-sizes"):
+        assert f'"{flag}"' in src, f"hires driver lost {flag}"
+    assert "load_checkpoint=True" in src          # ft restores the base ckpt
+    assert "multi_scale=False" in src             # ft is fixed-resolution
+    assert 'checkpoint_name=ckpt.name' in src     # restore SOURCE is the base
+    # the queue drives it with the ft stage off (base receipt) and the
+    # round-5 follow-up ran --finetune-size 832 by hand; both must parse
+    assert '"--eval-sizes", default="416,608,832"' in src
+
+
 def test_driver_cli_surface(driver):
     """The flags VERDICT r4 demanded exist and the composed invocation the
     hardware queue uses parses (benchmarks/r5_hardware_queue.sh)."""
