@@ -142,6 +142,19 @@ def main():
     # ---- optional fixed-resolution fine-tune from the checkpoint ----
     ft_best = None
     if args.finetune_size:
+        if not args.skip_train:
+            # Round-5 hardware finding: host RSS grows by roughly the batch
+            # nbytes per train step on the axon tunnel, so base-train + ft
+            # in ONE process accumulates past the 128 GB host (the 2026-08-20
+            # run was oom-killed at 131 GB anon RSS, 352 ft steps after the
+            # 700-step base train). Run the two stages as two invocations:
+            # the base train first, then --skip-train --finetune-size N.
+            print(json.dumps({
+                "warning": "base train + fine-tune in one process: host RSS "
+                           "accumulates per step over the TPU tunnel and can "
+                           "OOM a 128 GB host; prefer a second invocation "
+                           "with --skip-train (see benchmarks/RESULTS.md)"
+            }), flush=True)
         tc_ft = TrainConfig(
             lr=args.finetune_lr,
             batch_size=args.finetune_batch_size,
